@@ -1,0 +1,65 @@
+"""User-facing demo CLI, argument-compatible with the reference's
+scripts/testing_demo.py:99-135:
+
+    python -m virnet_tpu.cli.demo --task {denoising-syn,denoising-real,sisr}
+        --in_path <file-or-dir> --out_path <dir> [--sf {2,3,4}]
+        [--ckpt_path <pth-or-orbax>] [--prefix restored_]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def collect_images(in_path: Path):
+    if in_path.is_dir():
+        return sorted(p for p in in_path.iterdir()
+                      if p.suffix.lower() in IMG_EXTS)
+    return [in_path]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--task", required=True,
+                        choices=["denoising-syn", "denoising-real", "sisr"])
+    parser.add_argument("--in_path", required=True, type=str)
+    parser.add_argument("--out_path", type=str, default="./results")
+    parser.add_argument("--sf", type=int, default=2, choices=[2, 3, 4])
+    parser.add_argument("--ckpt_path", type=str, default=None,
+                        help="reference .pth checkpoint to import")
+    parser.add_argument("--prefix", type=str, default="restored_")
+    args = parser.parse_args(argv)
+
+    from ..eval.engine import Restorer
+    from ..ops.color import imread, imwrite
+    from ..ops.quant import img_as_ubyte
+
+    ckpt = args.ckpt_path
+    if ckpt is None:
+        default_names = {
+            "denoising-syn": "virnet_denoising_syn.pth",
+            "denoising-real": "virnet_denoising_real.pth",
+            "sisr": f"virnet_sisr_x{args.sf}.pth",
+        }
+        ckpt = str(Path("model_zoo") / default_names[args.task])
+
+    restorer = Restorer(args.task, ckpt_path=ckpt, sf=args.sf)
+
+    out_dir = Path(args.out_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for im_path in collect_images(Path(args.in_path)):
+        im = imread(im_path, chn="rgb", dtype="float32")
+        restored = restorer.restore_image(im)
+        out = img_as_ubyte(np.clip(restored, 0.0, 1.0))
+        out_file = out_dir / f"{args.prefix}{im_path.stem}.png"
+        imwrite(out, out_file, chn="rgb")
+        print(f"{im_path.name} -> {out_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""On-device SISR degradation synthesis for training.
+
+In-graph analogue of the reference's CPU pipeline
+(datasets/SISRDatasets.py:66-122): per-sample anisotropic Gaussian kernels,
+blur, bicubic/direct downsampling and Gaussian noise are generated for the
+whole batch inside the jitted train step.
+
+Parity notes:
+  * kernel sampling: λ1 ~ U(0.2, sf); λ2 ~ U(λ1, sf) w.p. 0.7 else λ1;
+    θ ~ U(0, π); the *variances* fed to the covariance are λ² (the reference
+    passes lambda**2, datasets/SISRDatasets.py:82-87);
+  * the data-path kernel uses the numpy (x, y) coordinate convention — the
+    transpose of the in-loss kernel (see ops/kernels.py docstring) — so we
+    transpose the in-graph kernel to match;
+  * the host pipeline pads with scipy's edge-repeating 'reflect'
+    (= jnp 'symmetric') and uses true convolution (flipped kernel);
+  * JPEG-noise branches require libjpeg round trips and remain host-side
+    (data/eval_sets.py); the on-device path covers the Gaussian branch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.degrade import downsample
+from ..ops.kernels import sigma2kernel
+from ..precision import get_precision
+
+
+class SISRBatch(NamedTuple):
+    im_hr: jnp.ndarray      # N x H x W x C
+    im_lr: jnp.ndarray      # N x H/sf x W/sf x C
+    im_blur: jnp.ndarray    # N x H/sf x W/sf x C (pre-noise LR)
+    kinfo: jnp.ndarray      # N x 3 (s1, s2, rho) — marginal variances + corr
+    nlevel: jnp.ndarray     # N x 1 noise std
+
+
+def sample_kernel_params(key: jax.Array, batch: int, sf: int):
+    """Sample (λ1, λ2, θ) per the reference distribution; returns the
+    covariance matrices (N, 2, 2) in the *data* (x-first) convention and the
+    kinfo (N, 3) = (Σ00, Σ11, ρ)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lam1 = jax.random.uniform(k1, (batch,), minval=0.2, maxval=float(sf))
+    lam2_hi = jax.random.uniform(k2, (batch,), minval=0.0, maxval=1.0)
+    lam2 = lam1 + lam2_hi * (float(sf) - lam1)          # U(lam1, sf)
+    iso = jax.random.uniform(k3, (batch,)) >= 0.7       # w.p. 0.3: isotropic
+    lam2 = jnp.where(iso, lam1, lam2)
+    theta = jax.random.uniform(k4, (batch,), minval=0.0, maxval=math.pi)
+
+    v1, v2 = lam1 ** 2, lam2 ** 2                        # variances
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # Σ = U diag(v1, v2) U^T with U = [[c, -s], [s, c]]
+    s00 = c * c * v1 + s * s * v2
+    s11 = s * s * v1 + c * c * v2
+    s01 = c * s * (v1 - v2)
+    cov = jnp.stack([jnp.stack([s00, s01], -1),
+                     jnp.stack([s01, s11], -1)], -2)     # N x 2 x 2
+    rho = s01 / (jnp.sqrt(s00) * jnp.sqrt(s11))
+    kinfo = jnp.stack([s00, s11, rho], axis=-1)
+    return cov, kinfo
+
+
+def blur_symmetric_convolve(x: jnp.ndarray, kernels: jnp.ndarray):
+    """Per-sample true convolution with scipy-compatible 'symmetric' padding
+    (the host data path's semantics)."""
+    n, h, w, c = x.shape
+    k = kernels.shape[-1]
+    kernels = jnp.flip(kernels, axis=(-2, -1))
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                 mode="symmetric")
+    xg = jnp.transpose(xp, (1, 2, 0, 3)).reshape(1, h + 2 * pad,
+                                                 w + 2 * pad, n * c)
+    kg = jnp.repeat(jnp.transpose(kernels, (1, 2, 0)), c, axis=-1)
+    kg = kg.reshape(k, k, 1, n * c).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        xg, kg, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=n * c,
+        precision=get_precision(),
+    )
+    return jnp.transpose(out.reshape(h, w, n, c), (2, 0, 1, 3))
+
+
+def synthesize_sisr_batch(key: jax.Array, im_hr: jnp.ndarray, sf: int,
+                          k_size: int = 21,
+                          kernel_shift: bool = False,
+                          downsampler: str = "bicubic",
+                          noise_level=(0.1, 15.0)) -> SISRBatch:
+    """(key, HR batch NHWC) -> degraded training batch, all on device."""
+    batch = im_hr.shape[0]
+    k_ker, k_nl, k_noise = jax.random.split(key, 3)
+
+    cov, kinfo = sample_kernel_params(k_ker, batch, sf)
+    # torch-convention kernel transposed == numpy/data-convention kernel
+    kernels = jnp.swapaxes(
+        sigma2kernel(cov, k_size, sf, shift=kernel_shift), -2, -1)
+
+    im_blur = blur_symmetric_convolve(im_hr, kernels)
+    im_blur = jnp.clip(im_blur, 0.0, 1.0)
+    im_blur_lr = downsample(im_blur, sf, downsampler)
+
+    std = jax.random.uniform(k_nl, (batch, 1, 1, 1),
+                             minval=noise_level[0] / 255.0,
+                             maxval=noise_level[1] / 255.0)
+    noise = jax.random.normal(k_noise, im_blur_lr.shape, im_blur_lr.dtype)
+    im_lr = jnp.clip(im_blur_lr + noise * std, 0.0, 1.0)
+
+    return SISRBatch(im_hr=im_hr, im_lr=im_lr, im_blur=im_blur_lr,
+                     kinfo=kinfo, nlevel=std.reshape(batch, 1))

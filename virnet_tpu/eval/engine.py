@@ -1,0 +1,79 @@
+"""Inference engine: compiled restore functions with pad-bucket reuse.
+
+Wraps a model + params into callables used by the CLI and the table
+harnesses.  Each distinct padded input shape compiles once and is cached by
+jax; the bucket grid keeps the number of distinct shapes small.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import build_model
+from ..convert import load_torch_checkpoint
+from .tiling import bucket_size
+
+CHOP_THRESHOLD = 160000   # pixels; above this, quadrant tiling kicks in
+
+
+class Restorer:
+    """Denoising / SISR inference on HWC numpy images."""
+
+    def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
+                 pad_multiple: int = 64, **model_overrides):
+        self.task = task
+        self.sf = sf if task == "sisr" else 1
+        self.model = build_model(task, **model_overrides)
+        if params is None:
+            if ckpt_path is None:
+                raise ValueError("need params or ckpt_path")
+            params = load_torch_checkpoint(ckpt_path, self.model)["params"]
+        self.params = params
+        self.pad_multiple = pad_multiple
+        self._forward = self._build_forward()
+
+    def _build_forward(self):
+        model = self.model
+        if self.task == "sisr":
+            sf = self.sf
+
+            @jax.jit
+            def fwd(params, x):
+                mu, kinfo, sigma = model.apply({"params": params}, x, sf)
+                return mu
+        else:
+            @jax.jit
+            def fwd(params, x):
+                mu, sigma = model.apply({"params": params}, x)
+                return mu
+        return fwd
+
+    def restore_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """NHWC float32 batch -> restored NHWC (clamped to [0,1])."""
+        return jnp.clip(self._forward(self.params, x), 0.0, 1.0)
+
+    def restore_image(self, im: np.ndarray) -> np.ndarray:
+        """HWC float32 [0,1] -> restored HWC.  Gray inputs are stacked to
+        3 channels (reference scripts/testing_demo.py:83)."""
+        squeeze_gray = False
+        if im.ndim == 2:
+            im = np.stack([im] * 3, axis=2)
+            squeeze_gray = True
+        h, w = im.shape[:2]
+
+        hb = bucket_size(h, self.pad_multiple)
+        wb = bucket_size(w, self.pad_multiple)
+        x = jnp.asarray(im[None])
+        if hb != h or wb != w:
+            x = jnp.pad(x, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)),
+                        mode="reflect")
+        out = self.restore_batch(x)
+        out = np.asarray(out[0, :h * self.sf, :w * self.sf, :])
+        if squeeze_gray:
+            out = out.mean(axis=2)
+        return out

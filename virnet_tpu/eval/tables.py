@@ -1,0 +1,155 @@
+"""Benchmark-table harnesses (reference scripts/, SURVEY.md §2.6).
+
+Table 1/2 — synthetic denoising (niid/iid) on CBSD68 + McMaster
+Table 4   — real denoising on SIDD validation blocks (+ megatime)
+Table 5   — blind SISR on Set14 + CBSD68, 7 fixed kernels
+
+All scoring uses the MATLAB-faithful metrics in eval/metrics.py with the
+reference's exact uint8/border/Y-channel protocol.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.eval_sets import DenoiseBenchmark, table5_kernels
+from ..ops.color import imread
+from ..ops.degrade import degrade_np
+from ..ops.quant import img_as_float32, img_as_ubyte
+from .engine import Restorer
+from .metrics import calculate_psnr, calculate_ssim
+from .tta import tta_x8
+
+
+def eval_denoise_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
+                           noise_type: str = "niid", seed: int = 1000,
+                           log_fn=print) -> Dict[str, Dict[str, Dict]]:
+    """Table 1/2 reproduction (reference scripts/denoising_virnet_syn.py).
+
+    data_dirs: {'CBSD68': path, 'McMaster': path} (values may be globs like
+    'dir/*.png'; a bare dir defaults to *.png).
+    Returns results[dataset][case] = {'psnr': .., 'ssim': .., per-image ...}.
+    """
+    bench = DenoiseBenchmark(noise_type, seed)
+    results: Dict[str, Dict] = {}
+    for data_name, d in data_dirs.items():
+        d = str(d)
+        pattern = "*.png" if "*" not in d else Path(d).name
+        root = Path(d) if "*" not in d else Path(d).parent
+        im_list = sorted(str(x) for x in root.glob(pattern))
+        results[data_name] = {}
+        for case_name, base in bench.cases():
+            psnrs, ssims = {}, {}
+            for im_path in im_list:
+                name = Path(im_path).stem
+                im_gt = imread(im_path, chn="rgb", dtype="uint8")
+                im_noisy = bench.noisy(im_gt, base)
+                out = restorer.restore_image(im_noisy)
+                im_dn = img_as_ubyte(np.clip(out, 0.0, 1.0))
+                psnrs[name] = calculate_psnr(im_dn, im_gt, border=0)
+                ssims[name] = calculate_ssim(im_dn, im_gt, border=0)
+            mean_psnr = float(np.mean(list(psnrs.values())))
+            mean_ssim = float(np.mean(list(ssims.values())))
+            log_fn(f"Dataset: {data_name:>9s}, Case: {case_name}, "
+                   f"PSNR: {mean_psnr:5.2f}, SSIM: {mean_ssim:6.4f}")
+            results[data_name][str(case_name)] = dict(
+                psnr=mean_psnr, ssim=mean_ssim,
+                psnr_per_image=psnrs, ssim_per_image=ssims)
+    return results
+
+
+def eval_sidd(restorer: Restorer, noisy_mat: str, gt_mat: str,
+              flip_tta: bool = True, log_fn=print) -> Dict[str, float]:
+    """Table 4 SIDD validation (reference
+    scripts/denoising_virnet_real_sidd.py:98-164): 1280 blocks of 256^2,
+    optional x8 TTA, PSNR/SSIM after uint8 round trip, and megatime =
+    seconds per restored 1024^2 megapixel (forward time only)."""
+    from scipy.io import loadmat
+
+    noisy_all = loadmat(noisy_mat)["ValidationNoisyBlocksSrgb"]
+    gt_all = loadmat(gt_mat)["ValidationGtBlocksSrgb"]
+    h, w, c = noisy_all.shape[2:]
+    noisy_all = noisy_all.reshape(-1, h, w, c)
+    gt_all = gt_all.reshape(-1, h, w, c)
+    n_blocks = noisy_all.shape[0]
+
+    forward = lambda x: restorer.restore_batch(x)  # noqa: E731
+
+    psnr_sum = ssim_sum = 0.0
+    total_time = 0.0
+    batch = 16
+    denoised_blocks = np.empty_like(noisy_all)
+    for start in range(0, n_blocks, batch):
+        chunk = noisy_all[start:start + batch]
+        x = jnp.asarray(img_as_float32(chunk))
+        tic = time.perf_counter()
+        if flip_tta:
+            out = tta_x8(forward, x)
+        else:
+            out = forward(x)
+        out.block_until_ready()
+        total_time += time.perf_counter() - tic
+        out_u8 = img_as_ubyte(np.clip(np.asarray(out), 0.0, 1.0))
+        denoised_blocks[start:start + batch] = out_u8
+        for i in range(chunk.shape[0]):
+            psnr_sum += calculate_psnr(out_u8[i], gt_all[start + i])
+            ssim_sum += calculate_ssim(out_u8[i], gt_all[start + i])
+
+    megatime = total_time * 1024 ** 2 / (n_blocks * h * w)
+    res = dict(psnr=psnr_sum / n_blocks, ssim=ssim_sum / n_blocks,
+               megatime=megatime, blocks=denoised_blocks)
+    log_fn(f"SIDD: PSNR={res['psnr']:5.2f}, SSIM={res['ssim']:6.4f}, "
+           f"megatime={megatime:.4f} s/MP (tta={'x8' if flip_tta else 'off'})")
+    return res
+
+
+def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
+                        sf: int, nlevel: float = 2.55,
+                        qf: Optional[int] = None, seed: int = 1234,
+                        downsampler: str = "bicubic",
+                        log_fn=print) -> Dict[str, Dict]:
+    """Table 5 reproduction (reference scripts/sisr_virnet_syn.py:98-193):
+    7 fixed kernels, bicubic degradation with seeded noise, Y-channel
+    PSNR/SSIM with border=sf^2."""
+    results: Dict[str, Dict] = {}
+    kernels = table5_kernels(sf)
+    for data_name, d in data_dirs.items():
+        d = str(d)
+        pattern = Path(d).name if "*" in d else "*.png"
+        root = Path(d).parent if "*" in d else Path(d)
+        im_list = sorted(str(x) for x in root.glob(pattern))
+        per_kernel = []
+        for ind_k, (kernel, _kinfo) in enumerate(kernels):
+            psnrs, ssims = {}, {}
+            for im_path in im_list:
+                name = Path(im_path).stem
+                im_gt = imread(im_path, chn="rgb", dtype="uint8")
+                from ..ops.pad import modcrop
+                im_gt = modcrop(im_gt, sf)
+                if im_gt.ndim == 2:
+                    im_gt = np.stack([im_gt] * 3, axis=2)
+                im_lr = degrade_np(img_as_float32(im_gt), kernel, sf,
+                                   nlevel=nlevel, qf=qf, seed=seed,
+                                   downsampler=downsampler)
+                out = restorer.restore_image(im_lr)
+                im_sr = img_as_ubyte(np.clip(out, 0.0, 1.0))
+                psnrs[name] = calculate_psnr(im_sr, im_gt, sf ** 2, True)
+                ssims[name] = calculate_ssim(im_sr, im_gt, sf ** 2, True)
+            mp, ms = (float(np.mean(list(psnrs.values()))),
+                      float(np.mean(list(ssims.values()))))
+            per_kernel.append(dict(psnr=mp, ssim=ms))
+            log_fn(f"Dataset: {data_name:>8s}, Kernel: {ind_k + 1}, "
+                   f"PSNRY: {mp:5.2f}, SSIMY: {ms:6.4f}")
+        results[data_name] = dict(
+            per_kernel=per_kernel,
+            psnr=float(np.mean([k["psnr"] for k in per_kernel])),
+            ssim=float(np.mean([k["ssim"] for k in per_kernel])))
+        log_fn(f"Dataset: {data_name:>8s}, "
+               f"PSNRY: {results[data_name]['psnr']:5.2f}, "
+               f"SSIMY: {results[data_name]['ssim']:6.4f}")
+    return results

@@ -1,0 +1,133 @@
+"""RNet — attention-conditioned residual U-Net (reference:
+networks/AttResUNet.py).
+
+Structure per reference semantics:
+  * input reflect-padded to a multiple of 2^(depth-1), cropped at the end,
+    with a global residual connection;
+  * extra (degradation) maps can condition the head input ('input'/'both')
+    and/or every scale of the down path ('down'/'both') via SFT-style
+    AttLayers producing a sigmoid gate and an additive shift;
+  * down path: n_resblocks AttResBlocks then a stride-2 conv; bottom block
+    has no downsample; up path: 2x2-stride-2 transposed conv, additive skip,
+    then unconditioned AttResBlocks.
+
+TPU-first choices: NHWC layout; the transposed conv is an einsum+reshape
+(ops/upsample.py) that lowers to one MXU matmul; the whole net is static
+shape under jit for each padded input bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pad import pad_to_multiple
+from ..ops.upsample import conv_transpose_2x2, nearest_resize
+from .common import conv, lrelu, make_torch_bias_init, torch_kernel_init
+
+
+class AttLayer(nn.Module):
+    out_chn: int
+
+    @nn.compact
+    def __call__(self, extra: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        nf1 = self.out_chn // 8
+        nf2 = self.out_chn // 4
+        f = conv(nf1, 1, extra.shape[-1], name="conv1")(extra)
+        f = lrelu(f, 0.2)
+        f = conv(nf2, 1, nf1, name="conv2")(f)
+        f = lrelu(f, 0.2)
+        mul = jax.nn.sigmoid(conv(self.out_chn, 1, nf2, name="mul_conv")(f))
+        add = conv(self.out_chn, 1, nf2, name="add_conv")(f)
+        return mul, add
+
+
+class AttResBlock(nn.Module):
+    nf: int
+    conditioned: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 extra: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if self.conditioned:
+            mul1, add1 = AttLayer(self.nf, name="sft1")(extra)
+        else:
+            mul1, add1 = 1.0, 0.0
+        f = conv(self.nf, 3, self.nf, name="conv1")(lrelu(x * mul1 + add1, 0.2))
+        if self.conditioned:
+            mul2, add2 = AttLayer(self.nf, name="sft2")(extra)
+        else:
+            mul2, add2 = 1.0, 0.0
+        f = conv(self.nf, 3, self.nf, name="conv2")(lrelu(f * mul2 + add2, 0.2))
+        return x + f
+
+
+class UpBlock(nn.Module):
+    out_chn: int
+    n_resblocks: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bridge: jnp.ndarray) -> jnp.ndarray:
+        in_chn = x.shape[-1]
+        kernel = self.param("up_kernel", torch_kernel_init,
+                            (2, 2, in_chn, self.out_chn))
+        bias = self.param("up_bias", make_torch_bias_init(4 * in_chn),
+                          (self.out_chn,))
+        x_up = conv_transpose_2x2(x, kernel, bias)
+        for ii in range(self.n_resblocks):
+            inp = x_up + bridge if ii == 0 else x_up
+            x_up = AttResBlock(self.out_chn, conditioned=False,
+                               name=f"block_{ii}")(inp, None)
+        return x_up
+
+
+class AttResUNet(nn.Module):
+    out_chn: int = 3
+    n_feat: Sequence[int] = (64, 128, 196, 256)
+    n_resblocks: int = 2
+    extra_mode: str = "input"   # null | input | down | both
+
+    @nn.compact
+    def __call__(self, x_in: jnp.ndarray,
+                 extra_in: Optional[jnp.ndarray]) -> jnp.ndarray:
+        mode = self.extra_mode.lower()
+        assert mode in ("null", "input", "down", "both")
+        depth = len(self.n_feat)
+        h, w = x_in.shape[-3], x_in.shape[-2]
+        mod = 2 ** (depth - 1)
+
+        x = pad_to_multiple(x_in, mod)
+        extra = pad_to_multiple(extra_in, mod) if mode != "null" else None
+
+        if mode in ("input", "both"):
+            head_in = jnp.concatenate([x, extra], axis=-1)
+        else:
+            head_in = x
+        x = conv(self.n_feat[0], 3, head_in.shape[-1], name="head")(head_in)
+
+        cond_down = mode in ("down", "both")
+        bridges = []
+        extra_cur = extra
+        for ii in range(depth):
+            nf = self.n_feat[ii]
+            for jj in range(self.n_resblocks):
+                x = AttResBlock(nf, conditioned=cond_down,
+                                name=f"down_{ii}_block_{jj}")(
+                                    x, extra_cur if cond_down else None)
+            if ii + 1 < depth:
+                bridges.append(x)
+                x = conv(self.n_feat[ii + 1], 3, nf, stride=2,
+                         name=f"down_{ii}_sampler")(x)
+                if cond_down:
+                    extra_cur = nearest_resize(extra, x.shape[-3],
+                                               x.shape[-2])
+
+        for jj in reversed(range(depth - 1)):
+            x = UpBlock(self.n_feat[jj], self.n_resblocks,
+                        name=f"up_{jj}")(x, bridges[jj])
+
+        out = conv(self.out_chn, 3, self.n_feat[0], name="tail")(x)
+        return out[..., :h, :w, :] + x_in

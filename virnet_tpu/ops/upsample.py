@@ -1,0 +1,54 @@
+"""Integer-factor nearest resampling and the 2x2-stride-2 transposed conv.
+
+torch-semantics parity notes:
+  * ``F.interpolate(mode='nearest')`` maps output index i to input index
+    floor(i * in / out); for an integer upscale this degenerates to pixel
+    repetition — implemented with ``jnp.repeat`` (no gather).
+  * ``nn.ConvTranspose2d(k=2, s=2, p=0)`` writes an independent 2x2 output
+    block per input pixel: that is one einsum + a block reshape, which XLA
+    lowers to a single MXU matmul — no overlap logic, no conv_transpose
+    semantics ambiguity, and a trivially convertible weight layout.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..precision import get_precision
+
+
+def nearest_upsample(x: jnp.ndarray, sf: int) -> jnp.ndarray:
+    """NHWC nearest-neighbor upsample by an integer factor."""
+    x = jnp.repeat(x, sf, axis=-3)
+    x = jnp.repeat(x, sf, axis=-2)
+    return x
+
+
+def nearest_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """NHWC nearest-neighbor resize to an arbitrary static size with torch
+    index semantics: src = floor(dst * in / out)."""
+    h, w = x.shape[-3], x.shape[-2]
+    rows = (jnp.arange(out_h) * h) // out_h
+    cols = (jnp.arange(out_w) * w) // out_w
+    return x[..., rows, :, :][..., :, cols, :]
+
+
+def conv_transpose_2x2(x: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Transposed conv, kernel 2, stride 2, no padding.
+
+    Args:
+        x: (N, H, W, C).
+        kernel: (2, 2, C, O) — [block_row, block_col, in, out].
+        bias: (O,) or None.
+    Returns:
+        (N, 2H, 2W, O); out[n, 2i+a, 2j+b, o] = sum_c x[n,i,j,c] K[a,b,c,o].
+    """
+    n, h, w, c = x.shape
+    o = kernel.shape[-1]
+    y = jnp.einsum("nhwc,abco->nhawbo", x, kernel,
+                   precision=get_precision())
+    y = y.reshape(n, 2 * h, 2 * w, o)
+    if bias is not None:
+        y = y + bias
+    return y
