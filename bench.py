@@ -39,14 +39,16 @@ def main():
         mu, _ = model.apply({"params": params}, x)
         return jnp.clip(mu, 0.0, 1.0)
 
-    # warmup + compile
-    forward(params, x).block_until_ready()
+    # warmup + compile; fetch to host — on the tunneled axon backend only a
+    # host transfer reliably waits for real execution
+    np.asarray(forward(params, x))
 
     n_iters = 30
     tic = time.perf_counter()
+    y = x
     for _ in range(n_iters):
-        out = forward(params, x)
-    out.block_until_ready()
+        y = forward(params, y)          # chained: no fake pipelining
+    np.asarray(y)
     toc = time.perf_counter()
 
     mp = batch * size * size / 1e6          # megapixels per call
