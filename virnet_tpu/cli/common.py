@@ -1,0 +1,69 @@
+"""Shared CLI plumbing for the three trainers."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_config, update_args
+from ..eval.metrics import batch_psnr, batch_ssim
+from ..eval.tiling import bucket_size
+
+
+def trainer_argparser(default_config: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--save_dir", default=None, type=str,
+                   help="path to save models and logs")
+    p.add_argument("--config", default=default_config, type=str)
+    p.add_argument("--resume", default=None, type=str,
+                   help="orbax checkpoint step or reference .pth to import")
+    p.add_argument("--epochs", default=None, type=int)
+    p.add_argument("--steps_per_epoch", default=None, type=int)
+    p.add_argument("--batch_size", default=None, type=int)
+    return p
+
+
+def load_trainer_config(args) -> Dict:
+    cfg = load_config(args.config)
+    return update_args(cfg, {k: v for k, v in vars(args).items()
+                             if k != "config"})
+
+
+def eval_restore_fn(model, params, sf: Optional[int] = None,
+                    pad_multiple: int = 64):
+    """Build a padded single-image restore closure over current params."""
+    if sf is None:
+        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+        scale = 1
+    else:
+        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, sf)[0])
+        scale = sf
+
+    def restore(im_hwc: np.ndarray) -> np.ndarray:
+        h, w = im_hwc.shape[:2]
+        hb, wb = bucket_size(h, pad_multiple), bucket_size(w, pad_multiple)
+        x = jnp.asarray(im_hwc[None])
+        if hb != h or wb != w:
+            x = jnp.pad(x, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)),
+                        mode="reflect")
+        out = fwd(params, x)
+        return np.asarray(jnp.clip(out[0, :h * scale, :w * scale], 0, 1))
+
+    return restore
+
+
+def eval_on_pairs(restore, pairs, border: int = 0,
+                  ycbcr: bool = False) -> Dict[str, float]:
+    """pairs yields (noisy/lr, gt) float32 HWC; returns mean PSNR/SSIM
+    with the reference's uint8 round-trip protocol."""
+    psnrs, ssims = [], []
+    for inp, gt in pairs:
+        out = restore(inp)
+        psnrs.append(batch_psnr(out[None], gt[None], border, ycbcr))
+        ssims.append(batch_ssim(out[None], gt[None], border, ycbcr))
+    return dict(psnr=float(np.mean(psnrs)), ssim=float(np.mean(ssims)))

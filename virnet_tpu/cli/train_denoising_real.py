@@ -1,0 +1,109 @@
+"""Real-noise (SIDD) denoising trainer CLI (reference
+train_denoising_real.py).
+
+    python -m virnet_tpu.cli.train_denoising_real \
+        --config configs/denoising_real.json --save_dir ./run1
+
+Paired noisy/GT patches come from a SIDD-style folder pair
+(<root>/noisy/*.png, <root>/gt/*.png); MixUp and the σ²-prior residual
+filter run in-graph; per-epoch validation on the SIDD ValidationBlocks
+.mat pair.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..config import as_bool
+from ..data.sources import PairedPatchSampler
+from ..train.logging import TrainWriter, make_log
+from ..train.loop_denoise import DenoiseTrainConfig, DenoiseTrainer
+from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
+                     trainer_argparser)
+
+
+def build_trainer(cfg: dict) -> DenoiseTrainer:
+    tcfg = DenoiseTrainConfig(
+        im_chn=cfg["im_chn"], sigma_chn=cfg["sigma_chn"],
+        dep_S=cfg["dep_S"], n_feat=tuple(cfg["n_feat"]),
+        n_resblocks=cfg["n_resblocks"],
+        noise_cond=as_bool(cfg.get("noise_cond", True)),
+        extra_mode=str(cfg.get("extra_mode", "Input")).lower(),
+        batch_size=cfg["batch_size"], patch_size=cfg["patch_size"],
+        epochs=cfg["epochs"], warmup_epochs=cfg.get("warmup_epochs", 10),
+        steps_per_epoch=cfg.get("steps_per_epoch", 10000),
+        lr=cfg["lr"], lr_min=cfg.get("lr_min", 1e-6),
+        clip_grad_R=cfg.get("clip_grad_R", 5e2),
+        clip_grad_S=cfg.get("clip_grad_S", 1e2),
+        eps2=cfg.get("eps2", 1e-6), var_window=cfg.get("var_window", 7),
+        use_mixup=as_bool(cfg.get("use_mixup", True)),
+        save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
+    return DenoiseTrainer(tcfg, real=True)
+
+
+def sidd_val_pairs(noisy_mat: str, gt_mat: str):
+    """Yield (noisy, gt) float32 HWC pairs from the SIDD validation .mats
+    (reference datasets/DenoisingDatasets.py:157-177)."""
+    from scipy.io import loadmat
+
+    noisy = loadmat(noisy_mat)["ValidationNoisyBlocksSrgb"]
+    gt = loadmat(gt_mat)["ValidationGtBlocksSrgb"]
+    h, w, c = noisy.shape[2:]
+    noisy = noisy.reshape(-1, h, w, c)
+    gt = gt.reshape(-1, h, w, c)
+    for i in range(noisy.shape[0]):
+        yield (noisy[i].astype(np.float32) / 255.0,
+               gt[i].astype(np.float32) / 255.0)
+
+
+def main(argv=None):
+    args = trainer_argparser("configs/denoising_real.json").parse_args(argv)
+    cfg = load_trainer_config(args)
+    save_dir = Path(cfg["save_dir"])
+    save_dir.mkdir(parents=True, exist_ok=True)
+    logger = make_log(save_dir / "train.log")
+    for k, v in sorted(cfg.items()):
+        logger.info(f"{k:<16s}: {v}")
+
+    trainer = build_trainer(cfg)
+    writer = TrainWriter(save_dir / "logs")
+
+    sampler = PairedPatchSampler(cfg["train_pch_dir"], cfg["patch_size"])
+    logger.info(f"Number of training patch pairs: {len(sampler.noisy)}")
+
+    have_val = (Path(cfg["test_noisy_path"]).exists()
+                and Path(cfg["test_gt_path"]).exists())
+
+    epoch_start = trainer.restore() if cfg.get("resume") else 0
+    steps = cfg.get("steps_per_epoch", 10000)
+
+    for epoch in range(epoch_start, cfg["epochs"]):
+        sampler.reset_seed(epoch)
+
+        def batches():
+            for _ in range(steps):
+                yield sampler.sample(cfg["batch_size"])
+
+        stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+        writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
+
+        if have_val:
+            restore = eval_restore_fn(trainer.model, trainer.params)
+            metrics = eval_on_pairs(
+                restore, sidd_val_pairs(cfg["test_noisy_path"],
+                                        cfg["test_gt_path"]))
+            logger.info(f"test: PSNR={metrics['psnr']:4.2f}, "
+                        f"SSIM={metrics['ssim']:5.4f}")
+            writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
+            writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
+
+        trainer.save(epoch)
+        logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Synthetic-denoising trainer CLI (reference train_denoising_syn.py).
+
+    python -m virnet_tpu.cli.train_denoising_syn \
+        --config configs/denoising_syn.json --save_dir ./run1
+
+Data flow (TPU-first): the host serves GT patch batches from a RAM image
+cache; σ-maps and noise are synthesized inside the jitted sharded train
+step.  Per-epoch: fixed-seed validation on CBSD68 (reference
+SimulateTest protocol), orbax checkpoint, TensorBoard scalars/images.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..config import as_bool
+from ..data.eval_sets import DenoiseValSet
+from ..data.sources import ImageCache, PatchSampler, glob_images
+from ..train.logging import TrainWriter, make_log
+from ..train.loop_denoise import DenoiseTrainConfig, DenoiseTrainer
+from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
+                     trainer_argparser)
+
+
+def build_trainer(cfg: dict) -> DenoiseTrainer:
+    tcfg = DenoiseTrainConfig(
+        im_chn=cfg["im_chn"], sigma_chn=cfg["sigma_chn"],
+        dep_S=cfg["dep_S"], n_feat=tuple(cfg["n_feat"]),
+        n_resblocks=cfg["n_resblocks"],
+        noise_cond=as_bool(cfg.get("noise_cond", True)),
+        extra_mode=str(cfg.get("extra_mode", "Input")).lower(),
+        batch_size=cfg["batch_size"], patch_size=cfg["patch_size"],
+        epochs=cfg["epochs"], warmup_epochs=cfg.get("warmup_epochs", 5),
+        steps_per_epoch=cfg.get("steps_per_epoch", 10000),
+        lr=cfg["lr"], lr_min=cfg.get("lr_min", 1e-6),
+        clip_grad_R=cfg.get("clip_grad_R", 1e3),
+        clip_grad_S=cfg.get("clip_grad_S", 1e2),
+        eps2=cfg.get("eps2", 1e-6), var_window=cfg.get("var_window", 7),
+        noise_mode=cfg.get("noise_mode", "niid"),
+        save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
+    return DenoiseTrainer(tcfg)
+
+
+def main(argv=None):
+    args = trainer_argparser("configs/denoising_syn.json").parse_args(argv)
+    cfg = load_trainer_config(args)
+    save_dir = Path(cfg["save_dir"])
+    save_dir.mkdir(parents=True, exist_ok=True)
+    logger = make_log(save_dir / "train.log")
+    for k, v in sorted(cfg.items()):
+        logger.info(f"{k:<16s}: {v}")
+
+    trainer = build_trainer(cfg)
+    writer = TrainWriter(save_dir / "logs")
+
+    # training data: union of configured (dir, glob) sources
+    train_paths = glob_images(*[tuple(x) for x in cfg["train_data"]])
+    if not train_paths:
+        raise SystemExit("no training images found — check train_data paths")
+    logger.info(f"Number of training images: {len(train_paths)}")
+    cache = ImageCache(train_paths)
+    sampler = PatchSampler(cache, cfg["patch_size"])
+
+    # validation data (fixed-seed synthesis)
+    val_paths = sorted(str(p) for p in Path(cfg["val_data"]).glob("*.png"))
+    val_set = DenoiseValSet(val_paths) if val_paths else None
+
+    epoch_start = trainer.restore() if cfg.get("resume") else 0
+    steps = cfg.get("steps_per_epoch", 10000)
+
+    for epoch in range(epoch_start, cfg["epochs"]):
+        sampler.reset_seed(epoch)
+
+        def batches():
+            for _ in range(steps):
+                yield sampler.sample(cfg["batch_size"])
+
+        stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+        writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
+        logger.info(f"train: Loss={stats.get('loss', 0):+.2e}, "
+                    f"lh={stats.get('lh', 0):+.2e}, "
+                    f"KLG={stats.get('kl_gauss', 0):+.2e}, "
+                    f"KLIG={stats.get('kl_ig', 0):+.2e}")
+
+        if val_set is not None:
+            restore = eval_restore_fn(trainer.model, trainer.params)
+            metrics = eval_on_pairs(restore, iter(val_set))
+            logger.info(f"test: PSNR={metrics['psnr']:4.2f}, "
+                        f"SSIM={metrics['ssim']:5.4f}")
+            writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
+            writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
+
+        trainer.save(epoch)
+        logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

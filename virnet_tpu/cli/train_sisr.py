@@ -1,0 +1,120 @@
+"""Blind-SISR trainer CLI (reference train_SISR.py).
+
+    python -m virnet_tpu.cli.train_sisr \
+        --config configs/sisr_x4.json --save_dir ./run1
+
+HR patches stream from a RAM cache; the whole degradation pipeline runs
+inside the jitted train step.  Per-epoch validation on Set14 (Gaussian and,
+when add_jpeg, JPEG noise types) with Y-channel metrics and border = sf,
+plus kernel-image TensorBoard summaries.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..config import as_bool
+from ..data.eval_sets import SISRValSet
+from ..data.sources import ImageCache, PatchSampler
+from ..train.logging import TrainWriter, make_log
+from ..train.loop_sisr import SISRTrainConfig, SISRTrainer
+from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
+                     trainer_argparser)
+
+
+def build_trainer(cfg: dict) -> SISRTrainer:
+    tcfg = SISRTrainConfig(
+        im_chn=cfg["im_chn"], sigma_chn=cfg["sigma_chn"],
+        dep_S=cfg["dep_S"], dep_K=cfg["dep_K"], n_feat=tuple(cfg["n_feat"]),
+        n_resblocks=cfg["n_resblocks"],
+        extra_mode=str(cfg.get("extra_mode", "Both")).lower(),
+        noise_cond=as_bool(cfg.get("noise_cond", True)),
+        kernel_cond=as_bool(cfg.get("kernel_cond", True)),
+        sf=cfg["sf"], k_size=cfg.get("k_size", 21),
+        kernel_shift=as_bool(cfg.get("kernel_shift", False)),
+        downsampler=str(cfg.get("downsampler", "Bicubic")).lower(),
+        noise_level=tuple(cfg.get("noise_level", (0.01, 15))),
+        batch_size=cfg["batch_size"], hr_size=cfg["hr_size"],
+        epochs=cfg["epochs"], warmup_epochs=cfg.get("warmup_epochs", 0),
+        steps_per_epoch=cfg.get("steps_per_epoch", 10000),
+        lr=cfg["lr"], lr_min=cfg.get("lr_min", 1e-6),
+        clip_grad_R=cfg.get("clip_grad_R", 5e2),
+        clip_grad_S=cfg.get("clip_grad_S", 1e2),
+        clip_grad_K=cfg.get("clip_grad_K", 5e2),
+        eps2=cfg.get("eps2", 1e-5), r2=cfg.get("r2", 1e-4),
+        var_window=cfg.get("var_window", 9),
+        kappa0=cfg.get("kappa0", 50),
+        penalty_K=tuple(cfg.get("penalty_K", (0.02, 2))),
+        save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
+    return SISRTrainer(tcfg)
+
+
+def main(argv=None):
+    args = trainer_argparser("configs/sisr_x4.json").parse_args(argv)
+    cfg = load_trainer_config(args)
+    save_dir = Path(cfg["save_dir"])
+    save_dir.mkdir(parents=True, exist_ok=True)
+    logger = make_log(save_dir / "train.log")
+    for k, v in sorted(cfg.items()):
+        logger.info(f"{k:<16s}: {v}")
+
+    trainer = build_trainer(cfg)
+    writer = TrainWriter(save_dir / "logs")
+    sf = cfg["sf"]
+
+    hr_paths = sorted(str(p) for p in
+                      Path(cfg["train_hr_patchs"]).glob("*.png"))
+    if not hr_paths:
+        raise SystemExit("no HR patches found — check train_hr_patchs")
+    logger.info(f"Number of HR patches: {len(hr_paths)}")
+    cache = ImageCache(hr_paths)
+    sampler = PatchSampler(cache, cfg["hr_size"])
+
+    # validation sets per noise type (reference train_SISR.py:277-321)
+    noise_types = ["Gaussian"]
+    if as_bool(cfg.get("add_jpeg", False)):
+        noise_types.append("JPEG")
+    val_root = Path(cfg["val_hr_path"])
+    val_paths = sorted(str(p) for p in val_root.glob("*.bmp")) or \
+        sorted(str(p) for p in val_root.glob("*.png"))
+    val_sets = {
+        nt: SISRValSet(val_paths, sf=sf, k_size=cfg.get("k_size", 21),
+                       kernel_shift=as_bool(cfg.get("kernel_shift", False)),
+                       downsampler=str(cfg.get("downsampler",
+                                               "Bicubic")).lower(),
+                       noise_type=nt)
+        for nt in noise_types
+    } if val_paths else {}
+
+    epoch_start = trainer.restore() if cfg.get("resume") else 0
+    steps = cfg.get("steps_per_epoch", 10000)
+
+    for epoch in range(epoch_start, cfg["epochs"]):
+        sampler.reset_seed(epoch * 1000)
+
+        def batches():
+            for _ in range(steps):
+                yield sampler.sample(cfg["batch_size"])
+
+        stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+        writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
+
+        for nt, val_set in val_sets.items():
+            restore = eval_restore_fn(trainer.model, trainer.params, sf=sf)
+            pairs = ((lr, hr) for hr, lr, _ in val_set)
+            metrics = eval_on_pairs(restore, pairs, border=sf, ycbcr=True)
+            logger.info(f"test[{nt}]: PSNR={metrics['psnr']:4.2f}, "
+                        f"SSIM={metrics['ssim']:5.4f}")
+            writer.scalar(f"PSNR_epoch_test_{nt}", metrics["psnr"], epoch)
+            writer.scalar(f"SSIM_epoch_test_{nt}", metrics["ssim"], epoch)
+
+        trainer.save(epoch)
+        logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,8 @@ class DenoiseTrainConfig:
     eps2: float = 1e-6
     var_window: int = 7
     noise_mode: str = "niid"    # niid | iid  (synthetic) / 'real'
+    use_mixup: bool = True      # real-data mode only (reference
+                                # train_denoising_real.py:163)
     seed: int = 1234
     save_dir: str = "./train_save"
     print_freq: int = 100
@@ -109,6 +111,10 @@ class DenoiseTrainer:
         def loss_fn(params, batch, key):
             if real:
                 im_noisy, im_gt = batch
+                if cfg.use_mixup:
+                    key, k_mix = jax.random.split(key)
+                    from ..data.mixup import mixup_pairs
+                    im_gt, im_noisy = mixup_pairs(k_mix, im_gt, im_noisy)
                 sigma_gt = noise_estimate(im_noisy, im_gt, cfg.var_window)
             else:
                 im_gt = batch
