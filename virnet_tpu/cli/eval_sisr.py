@@ -1,0 +1,74 @@
+"""Table 5 reproduction CLI (reference scripts/sisr_virnet_syn.py).
+
+    python -m virnet_tpu.cli.eval_sisr --sf 4 --nlevel 2.55 \
+        --ckpt_path model_zoo/virnet_sisr_x4.pth --save_dir ./results
+
+LPIPS requires pretrained AlexNet weights; in this zero-egress image it is
+gated — pass --lpips only when the 'lpips' package and weights exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+from pathlib import Path
+
+from ..eval.analysis import calculate_flops, calculate_parameters
+from ..eval.engine import Restorer
+from ..eval.tables import eval_sisr_synthetic
+from ..train.logging import make_log
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--sf", type=int, default=4, choices=[2, 3, 4])
+    p.add_argument("--nlevel", type=float, default=0.0)
+    p.add_argument("--save_dir", type=str, default="")
+    p.add_argument("--data_root", type=str,
+                   default="/root/reference/test_data")
+    p.add_argument("--downsampler", type=str, default="bicubic")
+    args = p.parse_args(argv)
+
+    ckpt = args.ckpt_path or str(Path("model_zoo")
+                                 / f"virnet_sisr_x{args.sf}.pth")
+    nl_str = (str(int(args.nlevel)) if args.nlevel == 0
+              else str(args.nlevel).replace(".", ""))
+    if args.save_dir:
+        Path(args.save_dir).mkdir(parents=True, exist_ok=True)
+    logger = make_log(Path(args.save_dir)
+                      / f"sisr_sf{args.sf}_nl{nl_str}.log"
+                      if args.save_dir else None)
+
+    restorer = Restorer("sisr", ckpt_path=ckpt, sf=args.sf)
+
+    import jax.numpy as jnp
+    n_params = calculate_parameters(restorer.params) / 1000 ** 2
+    logger.info(f"Number of parameters: {n_params:.2f}M")
+    for size in (256, 512):
+        lr = size // args.sf
+        flops = calculate_flops(
+            lambda p_, x_: restorer.model.apply({"params": p_}, x_,
+                                                args.sf)[0],
+            restorer.params, jnp.zeros((1, lr, lr, 3)))
+        logger.info(f"FLOPs for {size}: {flops / 1000 ** 3:.2f}G")
+
+    data_dirs = {
+        "Set14": str(Path(args.data_root) / "Set14" / "*.bmp"),
+        "CBSD68": str(Path(args.data_root) / "CBSD68" / "*.png"),
+    }
+    results = eval_sisr_synthetic(restorer, data_dirs, args.sf,
+                                  nlevel=args.nlevel,
+                                  downsampler=args.downsampler,
+                                  log_fn=logger.info)
+
+    if args.save_dir:
+        out = Path(args.save_dir) / f"sisr_sf{args.sf}_nl{nl_str}.pkl"
+        with open(out, "wb") as f:
+            pickle.dump(results, f)
+        logger.info(f"saved {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""DND benchmark harness: official-protocol crop loop + submission bundler.
+
+Behavioral equivalent of the vendored Plötz/Roth harness the reference
+ships (dnd_submission_py/dnd_denoise.py:78-123,
+bundle_submissions.py:45-73): 50 sRGB images x 20 bounding boxes from
+info.mat, each crop denoised and saved as %04d_%02d.mat, then bundled into
+per-image object arrays for upload.  The denoiser here is a jax restore
+function with optional x8 flip TTA batched into one forward.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+
+from ..ops.augment import dihedral_inverse_np, dihedral_np
+
+
+def make_denoiser(restore_batch: Callable, flip: bool = True):
+    """Wrap an NHWC-batch restore fn into the (Inoisy, nlf) -> denoised
+    interface of the DND loop (reference
+    dnd_submission_py/pytorch_wrapper.py:15-49)."""
+    import jax.numpy as jnp
+
+    def denoiser(inoisy: np.ndarray, nlf=None) -> np.ndarray:
+        if flip:
+            stack = np.stack([dihedral_np(inoisy, m) for m in range(8)])
+            out = np.asarray(restore_batch(jnp.asarray(stack)))
+            outs = [dihedral_inverse_np(out[m], m) for m in range(8)]
+            return np.mean(outs, axis=0).astype(np.float32)
+        out = np.asarray(restore_batch(jnp.asarray(inoisy[None])))[0]
+        return out.astype(np.float32)
+
+    return denoiser
+
+
+def denoise_srgb(denoiser: Callable, data_folder, out_folder,
+                 log_fn=print) -> None:
+    """Run the official 50x20 sRGB crop loop and save per-crop .mats."""
+    import h5py
+    import scipy.io as sio
+
+    out_folder = Path(out_folder)
+    out_folder.mkdir(parents=True, exist_ok=True)
+
+    infos = h5py.File(str(Path(data_folder) / "info.mat"), "r")
+    info = infos["info"]
+    bb = info["boundingboxes"]
+    for i in range(50):
+        filename = Path(data_folder) / "images_srgb" / f"{i + 1:04d}.mat"
+        img = h5py.File(str(filename), "r")
+        inoisy = np.float32(np.array(img["InoisySRGB"])).T
+        boxes = np.array(info[bb[0][i]]).T
+        for k in range(20):
+            idx = [int(boxes[k, 0] - 1), int(boxes[k, 2]),
+                   int(boxes[k, 1] - 1), int(boxes[k, 3])]
+            crop = inoisy[idx[0]:idx[1], idx[2]:idx[3], :].copy()
+            denoised = np.float32(denoiser(crop, None))
+            sio.savemat(str(out_folder / f"{i + 1:04d}_{k + 1:02d}.mat"),
+                        {"Idenoised_crop": denoised})
+        log_fn(f"[{i + 1}/50] {filename.name} done")
+
+
+def bundle_submissions_srgb(submission_folder) -> None:
+    """Bundle per-crop .mats into the per-image submission format."""
+    import scipy.io as sio
+
+    submission_folder = Path(submission_folder)
+    out_folder = submission_folder / "bundled"
+    out_folder.mkdir(exist_ok=True)
+    for i in range(50):
+        denoised = np.zeros((20,), dtype=object)
+        for k in range(20):
+            s = sio.loadmat(str(submission_folder
+                                / f"{i + 1:04d}_{k + 1:02d}.mat"))
+            denoised[k] = s["Idenoised_crop"]
+        sio.savemat(str(out_folder / f"{i + 1:04d}.mat"),
+                    {"Idenoised": denoised, "israw": False,
+                     "eval_version": "1.0"})
