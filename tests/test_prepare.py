@@ -1,0 +1,78 @@
+import numpy as np
+
+from virnet_tpu.data import prepare as P
+
+
+def _write_img(path, shape, seed):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    cv2.imwrite(str(path), rng.integers(0, 255, shape, dtype=np.uint8))
+
+
+def test_crop_hr_patches(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        _write_img(src / f"im{i}.png", (70, 90, 3), i)
+    out = tmp_path / "patches"
+    n = P.crop_hr_patches([str(p) for p in sorted(src.glob("*.png"))],
+                          out, pch_size=48, stride=32)
+    files = list(out.glob("*.png"))
+    assert len(files) == n and n == 2 * 2 * 3  # ind_h={0,22}, ind_w={0,32,42}
+    import cv2
+    im = cv2.imread(str(files[0]))
+    assert im.shape == (48, 48, 3)
+
+
+def test_crop_sidd_patches(tmp_path):
+    src = tmp_path / "scenes"
+    src.mkdir()
+    pairs = []
+    for i in range(2):
+        _write_img(src / f"n{i}.png", (80, 80, 3), 10 + i)
+        _write_img(src / f"g{i}.png", (80, 80, 3), 20 + i)
+        pairs.append((str(src / f"n{i}.png"), str(src / f"g{i}.png")))
+    out = tmp_path / "patches"
+    n = P.crop_sidd_patches(pairs, out, pch_size=32, num_patch_per_img=5)
+    assert n == 10
+    assert len(list((out / "noisy").glob("*.png"))) == 10
+    assert len(list((out / "gt").glob("*.png"))) == 10
+    # names pair up
+    names_n = {p.name for p in (out / "noisy").glob("*.png")}
+    names_g = {p.name for p in (out / "gt").glob("*.png")}
+    assert names_n == names_g
+
+
+def test_make_kernel_bank(tmp_path):
+    import scipy.io as sio
+
+    out = tmp_path / "kernels.mat"
+    bank = P.make_kernel_bank(out, sfs=(2, 4), k_size=15)
+    assert bank["kernels_sf2"].shape == (7, 15, 15)
+    loaded = sio.loadmat(str(out))
+    np.testing.assert_allclose(loaded["kernels_sf4"], bank["kernels_sf4"])
+    sums = bank["kernels_sf2"].sum(axis=(1, 2))
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+
+def test_write_noise_benchmark_h5(tmp_path):
+    import h5py
+
+    src = tmp_path / "ims"
+    src.mkdir()
+    _write_img(src / "a.png", (40, 50, 3), 0)
+    files = P.write_noise_benchmark_h5(src, tmp_path / "h5")
+    assert len(files) == 6
+    with h5py.File(files[0], "r") as f:
+        g = f["a"]
+        assert g["gt"].shape == (40, 50, 3)
+        assert g["sigma"].shape == (40, 50)
+        noise = g["noisy"][()] - g["gt"][()]
+        assert noise.std() > 0.01
+
+
+def test_sidd_download_list():
+    parts = P.sidd_download_list(cameras=["GP", "S6"])
+    assert parts == ["SIDD_Medium_Srgb_Parts_GP.zip",
+                     "SIDD_Medium_Srgb_Parts_S6.zip"]

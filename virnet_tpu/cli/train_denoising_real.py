@@ -70,8 +70,14 @@ def main(argv=None):
     trainer = build_trainer(cfg)
     writer = TrainWriter(save_dir / "logs")
 
-    sampler = PairedPatchSampler(cfg["train_pch_dir"], cfg["patch_size"])
-    logger.info(f"Number of training patch pairs: {len(sampler.noisy)}")
+    if cfg.get("train_pack_file"):
+        # native mmap'd pack file + C++ threaded sampler (data/packdb.py)
+        from ..data.packdb import PackDBSampler
+        sampler = PackDBSampler(cfg["train_pack_file"], cfg["patch_size"])
+        logger.info(f"Number of training records (packdb): {len(sampler)}")
+    else:
+        sampler = PairedPatchSampler(cfg["train_pch_dir"], cfg["patch_size"])
+        logger.info(f"Number of training patch pairs: {len(sampler.noisy)}")
 
     have_val = (Path(cfg["test_noisy_path"]).exists()
                 and Path(cfg["test_gt_path"]).exists())

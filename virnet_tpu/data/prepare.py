@@ -1,0 +1,164 @@
+"""Dataset preparation utilities (reference datasets/prepare_data/*).
+
+* SIDD patch cropper — random 256^2 patches per scene pair, parallel
+  (reference .../SIDD/im2patch_train.py:45-82)
+* SISR HR patch cropper — strided 512^2 crops of DIV2K/Flickr2K
+  (reference .../SISR/im2patch_train.py:33-54)
+* kernel-bank generator — the 7 eval kernels per sf into .mat
+  (reference .../SISR/make_kernel_noise.py:19-32)
+* synthetic-noise HDF5 writer — per-benchmark-case noisy/gt/σ HDF5
+  (reference .../simulation/noise_generate.py:30-73)
+* SIDD downloader — URL-list generator; actual fetching is left to the
+  operator (this build environment has no egress)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.color import imread, imwrite
+from ..ops.sigma_fields import (gauss_kernel_mix, peaks, rescale_field,
+                                sincos_kernel)
+
+
+def crop_sidd_patches(noisy_gt_pairs: Sequence, out_dir,
+                      pch_size: int = 256, num_patch_per_img: int = 400,
+                      prefix: str = "sidd_", seed: int = 10000,
+                      max_workers: int = 8) -> int:
+    """Random patch pairs from full-size SIDD scenes into
+    <out>/noisy/<prefix>N.png + <out>/gt/<prefix>N.png."""
+    out_dir = Path(out_dir)
+    (out_dir / "noisy").mkdir(parents=True, exist_ok=True)
+    (out_dir / "gt").mkdir(parents=True, exist_ok=True)
+
+    def process(job):
+        idx, (noisy_path, gt_path) = job
+        rng = np.random.default_rng(seed + idx)
+        im_noisy = imread(noisy_path, chn="bgr", dtype="uint8")
+        im_gt = imread(gt_path, chn="bgr", dtype="uint8")
+        h, w = im_noisy.shape[:2]
+        count = 0
+        for jj in range(num_patch_per_img):
+            i0 = int(rng.integers(0, h - pch_size + 1))
+            j0 = int(rng.integers(0, w - pch_size + 1))
+            name = f"{prefix}{idx * num_patch_per_img + jj}.png"
+            imwrite(im_noisy[i0:i0 + pch_size, j0:j0 + pch_size],
+                    out_dir / "noisy" / name, chn="bgr")
+            imwrite(im_gt[i0:i0 + pch_size, j0:j0 + pch_size],
+                    out_dir / "gt" / name, chn="bgr")
+            count += 1
+        return count
+
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        counts = list(ex.map(process, enumerate(noisy_gt_pairs)))
+    return sum(counts)
+
+
+def crop_hr_patches(im_paths: Sequence[str], out_dir, pch_size: int = 512,
+                    stride: int = 320, max_workers: int = 8) -> int:
+    """Strided HR crops for SISR training (DIV2K + Flickr2K style)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def process(job):
+        idx, path = job
+        im = imread(path, chn="bgr", dtype="uint8")
+        h, w = im.shape[:2]
+        count = 0
+        ind_h = list(range(0, h - pch_size, stride)) + [h - pch_size]
+        ind_w = list(range(0, w - pch_size, stride)) + [w - pch_size]
+        for i0 in ind_h:
+            for j0 in ind_w:
+                name = f"{Path(path).stem}_p{count:03d}.png"
+                imwrite(im[i0:i0 + pch_size, j0:j0 + pch_size],
+                        out_dir / name, chn="bgr")
+                count += 1
+        return count
+
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        counts = list(ex.map(process, enumerate(im_paths)))
+    return sum(counts)
+
+
+def make_kernel_bank(out_path, sfs: Sequence[int] = (2, 3, 4),
+                     k_size: int = 21, shift: bool = False) -> dict:
+    """Pre-generate the 7 Table-5 eval kernels per scale factor into a .mat
+    bank {'kernels_sf2': (7, k, k), ...}."""
+    import scipy.io as sio
+
+    from .eval_sets import table5_kernels
+
+    bank = {}
+    for sf in sfs:
+        kernels = np.stack([k for k, _ in table5_kernels(sf, k_size, shift)])
+        kinfos = np.stack([ki for _, ki in table5_kernels(sf, k_size, shift)])
+        bank[f"kernels_sf{sf}"] = kernels
+        bank[f"kinfos_sf{sf}"] = kinfos
+    if out_path is not None:
+        sio.savemat(str(out_path), bank)
+    return bank
+
+
+def write_noise_benchmark_h5(im_dir, out_dir, exts: Sequence[str] = ("png",),
+                             seed: int = 1000) -> List[str]:
+    """Write noisy/gt/σ-map HDF5 files for every benchmark case: the three
+    niid fields and iid σ ∈ {15, 25, 50}."""
+    import cv2
+    import h5py
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    im_paths = sorted(p for ext in exts
+                      for p in Path(im_dir).glob(f"*.{ext}"))
+
+    rng = np.random.default_rng(seed)
+    cases = {
+        "peaks": rescale_field(peaks(256), 10 / 255, 75 / 255),
+        "sincos": rescale_field(sincos_kernel(), 10 / 255, 75 / 255),
+        "gauss_mix": rescale_field(gauss_kernel_mix(256, 256, rng),
+                                   10 / 255, 75 / 255),
+        "iid15": 15, "iid25": 25, "iid50": 50,
+    }
+    written = []
+    for case, base in cases.items():
+        out_path = out_dir / f"benchmark_{case}.hdf5"
+        with h5py.File(out_path, "w") as f:
+            for p in im_paths:
+                im_gt = imread(p, chn="rgb", dtype="float32")
+                h, w = im_gt.shape[:2]
+                if isinstance(base, (int, float)):
+                    sigma = np.full((h, w), base / 255.0, dtype=np.float32)
+                else:
+                    sigma = cv2.resize(
+                        base, (w, h),
+                        interpolation=cv2.INTER_NEAREST_EXACT)
+                noise = rng.standard_normal(
+                    size=im_gt.shape).astype(np.float32)
+                im_noisy = im_gt + noise * sigma[:, :, None]
+                g = f.create_group(Path(p).stem)
+                g.create_dataset("gt", data=im_gt)
+                g.create_dataset("noisy", data=im_noisy)
+                g.create_dataset("sigma", data=sigma)
+        written.append(str(out_path))
+    return written
+
+
+SIDD_BASE_URL = ("https://competitions.codalab.org/my/datasets/download/")
+
+
+def sidd_download_list(cameras: Optional[Sequence[str]] = None,
+                       srgb_only: bool = True) -> List[str]:
+    """The reference shells out to axel per-URL
+    (.../SIDD/download_sidd_all.py:11-23); this environment has no network
+    egress, so we emit the filtered filename list for the operator to fetch
+    from the official SIDD_Medium_Srgb distribution instead."""
+    cameras = cameras or ["GP", "IP", "S6", "N6", "G4"]
+    parts = []
+    for cam in cameras:
+        parts.append(f"SIDD_Medium_Srgb_Parts_{cam}.zip"
+                     if srgb_only else f"SIDD_Medium_Raw_Parts_{cam}.zip")
+    return parts
