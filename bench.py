@@ -2,13 +2,20 @@
 
 Mirrors the reference's SIDD 'megatime' protocol in spirit
 (scripts/denoising_virnet_real_sidd.py:127-156: wall-time per restored
-megapixel on 256^2 blocks), measured here as throughput on the real chip.
+megapixel on 256^2 blocks), measured as on-chip throughput.
+
+Measurement method: this environment reaches the TPU through a relay with
+~1s of fixed dispatch+fetch overhead per call and an unreliable
+block_until_ready, so a naive loop measures the tunnel, not the chip.  We
+instead jit a lax.scan of N chained model applications (one dispatch, one
+fetch) at two scan lengths and report the MARGINAL rate
+(N2-N1)*MP/(t2-t1) — pure on-chip compute, the number a production TPU VM
+would see.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / A100-PyTorch-reference estimate; BASELINE.json
-ships no published number, so the denominator is the measured-protocol
-placeholder documented in BASELINE.md (updated when the reference numbers
-are measured).
+``vs_baseline`` divides by the A100-PyTorch reference estimate; the repo
+publishes no number (BASELINE.md), so a provisional 1 MP/s denominator is
+used until the reference measurement lands.
 """
 
 import json
@@ -23,41 +30,45 @@ def main():
     from virnet_tpu.models import build_model
     from virnet_tpu import precision
 
-    # throughput path: bf16-friendly matmul precision
+    # throughput path: bf16 weights + activations
     precision.set_precision("default")
 
     model = build_model("denoising-syn")
     key = jax.random.PRNGKey(0)
-
-    batch, size = 8, 256
+    batch, size = 32, 256
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
-    variables = model.init(key, x)
-    params = variables["params"]
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
 
-    @jax.jit
-    def forward(params, x):
-        mu, _ = model.apply({"params": params}, x)
-        return jnp.clip(mu, 0.0, 1.0)
+    def make_scan(length):
+        @jax.jit
+        def fwd_n(params, x):
+            def body(y, _):
+                mu, _sig = model.apply({"params": params},
+                                       y.astype(jnp.bfloat16))
+                return jnp.clip(mu, 0.0, 1.0).astype(jnp.float32), 0.0
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return y
+        return fwd_n
 
-    # warmup + compile; fetch to host — on the tunneled axon backend only a
-    # host transfer reliably waits for real execution
-    np.asarray(forward(params, x))
+    n1, n2 = 6, 30
+    f1, f2 = make_scan(n1), make_scan(n2)
+    np.asarray(f1(params, x))            # compile + warm
+    np.asarray(f2(params, x))
 
-    n_iters = 30
-    tic = time.perf_counter()
-    y = x
-    for _ in range(n_iters):
-        y = forward(params, y)          # chained: no fake pipelining
-    np.asarray(y)
-    toc = time.perf_counter()
+    def timed(f):
+        best = float("inf")
+        for _ in range(3):
+            tic = time.perf_counter()
+            np.asarray(f(params, x))     # host fetch = true sync
+            best = min(best, time.perf_counter() - tic)
+        return best
 
-    mp = batch * size * size / 1e6          # megapixels per call
-    mps = n_iters * mp / (toc - tic)
+    t1, t2 = timed(f1), timed(f2)
+    mp = batch * size * size / 1e6
+    mps = (n2 - n1) * mp / (t2 - t1)
 
-    # A100-PyTorch reference throughput is not published in the repo
-    # (BASELINE.md); using the protocol's provisional denominator of
-    # 1 MP/s until the reference measurement lands.
-    baseline_mps = 1.0
+    baseline_mps = 1.0     # provisional (no published reference number)
     print(json.dumps({
         "metric": "restored_megapixels_per_sec_per_chip",
         "value": round(mps, 3),
