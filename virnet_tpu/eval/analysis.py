@@ -48,3 +48,13 @@ def schedule_preview(schedule: Callable, epochs: int,
     """Per-epoch learning rates (reference util_net.test_scheduler)."""
     return {e: float(schedule(e * steps_per_epoch))
             for e in range(epochs)}
+
+
+def calculate_eta_min(epochs: int, eta_max: float, lr_min: float,
+                      t_max: int) -> float:
+    """Given the desired final LR, solve for the cosine schedule's eta_min
+    (reference utils/util_net.py:67-74)."""
+    import math
+
+    coef = 0.5 * (1 + math.cos((epochs - 1) / t_max * math.pi))
+    return (lr_min - eta_max * coef) / (1 - coef)

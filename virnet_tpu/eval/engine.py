@@ -59,21 +59,40 @@ class Restorer:
 
     def restore_image(self, im: np.ndarray) -> np.ndarray:
         """HWC float32 [0,1] -> restored HWC.  Gray inputs are stacked to
-        3 channels (reference scripts/testing_demo.py:83)."""
+        3 channels (reference scripts/testing_demo.py:83).  Images above
+        ``CHOP_THRESHOLD`` pixels run through overlap-shave quadrant tiling
+        (reference utils/util_net.py:27-65 equivalent, eval/tiling.py)."""
         squeeze_gray = False
         if im.ndim == 2:
             im = np.stack([im] * 3, axis=2)
             squeeze_gray = True
         h, w = im.shape[:2]
 
-        hb = bucket_size(h, self.pad_multiple)
-        wb = bucket_size(w, self.pad_multiple)
-        x = jnp.asarray(im[None])
-        if hb != h or wb != w:
-            x = jnp.pad(x, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)),
-                        mode="reflect")
-        out = self.restore_batch(x)
-        out = np.asarray(out[0, :h * self.sf, :w * self.sf, :])
+        if h * w > CHOP_THRESHOLD:
+            from .tiling import forward_chop
+
+            def fwd(x):
+                hh, ww = x.shape[-3], x.shape[-2]
+                hb = bucket_size(hh, self.pad_multiple)
+                wb = bucket_size(ww, self.pad_multiple)
+                if hb != hh or wb != ww:
+                    x = jnp.pad(x, ((0, 0), (0, hb - hh), (0, wb - ww),
+                                    (0, 0)), mode="reflect")
+                out = self.restore_batch(x)
+                return out[:, :hh * self.sf, :ww * self.sf, :]
+
+            out = forward_chop(fwd, jnp.asarray(im[None]), sf=self.sf,
+                               shave=10, min_size=CHOP_THRESHOLD)
+            out = np.asarray(out[0])
+        else:
+            hb = bucket_size(h, self.pad_multiple)
+            wb = bucket_size(w, self.pad_multiple)
+            x = jnp.asarray(im[None])
+            if hb != h or wb != w:
+                x = jnp.pad(x, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)),
+                            mode="reflect")
+            out = self.restore_batch(x)
+            out = np.asarray(out[0, :h * self.sf, :w * self.sf, :])
         if squeeze_gray:
             out = out.mean(axis=2)
         return out

@@ -139,6 +139,28 @@ def tidy_kernel(kernel: np.ndarray, expect_size: int = 21) -> np.ndarray:
     return out
 
 
+def kair_anisotropic_gaussian(ksize: int = 25, theta: float = math.pi,
+                              l1: float = 6.0, l2: float = 6.0) -> np.ndarray:
+    """KAIR-style anisotropic Gaussian (reference
+    datasets/data_tools.py:47-81; unused in the reference's main training
+    path, kept for API completeness): pdf-sampled kernel with eigenvector
+    rotation by theta and eigenvalue scales (l1, l2)."""
+    from scipy.stats import multivariate_normal
+
+    v = np.array([[math.cos(theta), -math.sin(theta)],
+                  [math.sin(theta), math.cos(theta)]]) @ np.array([1.0, 0.0])
+    vmat = np.array([[v[0], v[1]], [v[1], -v[0]]])
+    d = np.diag([l1, l2])
+    cov = vmat @ d @ np.linalg.inv(vmat)
+
+    center = ksize / 2.0 + 0.5
+    yy, xx = np.meshgrid(np.arange(ksize), np.arange(ksize), indexing="ij")
+    pts = np.stack([xx - center + 1, yy - center + 1], axis=-1).reshape(-1, 2)
+    k = multivariate_normal.pdf(pts, mean=[0, 0],
+                                cov=cov).reshape(ksize, ksize)
+    return k / k.sum()
+
+
 def gaussian_filter_kernel(ksize: int, sigma: float = -1.0) -> np.ndarray:
     """2-D separable Gaussian filter kernel, OpenCV ``getGaussianKernel``
     semantics: when ``sigma <= 0`` it defaults to the OpenCV size rule
