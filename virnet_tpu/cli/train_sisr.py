@@ -47,6 +47,7 @@ def build_trainer(cfg: dict) -> SISRTrainer:
         var_window=cfg.get("var_window", 9),
         kappa0=cfg.get("kappa0", 50),
         penalty_K=tuple(cfg.get("penalty_K", (0.02, 2))),
+        mixed_precision=as_bool(cfg.get("mixed_precision", True)),
         save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
     return SISRTrainer(tcfg)
 

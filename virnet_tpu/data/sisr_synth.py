@@ -66,24 +66,11 @@ def sample_kernel_params(key: jax.Array, batch: int, sf: int):
 
 def blur_symmetric_convolve(x: jnp.ndarray, kernels: jnp.ndarray):
     """Per-sample true convolution with scipy-compatible 'symmetric' padding
-    (the host data path's semantics)."""
-    n, h, w, c = x.shape
-    k = kernels.shape[-1]
-    kernels = jnp.flip(kernels, axis=(-2, -1))
-    pad = k // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                 mode="symmetric")
-    xg = jnp.transpose(xp, (1, 2, 0, 3)).reshape(1, h + 2 * pad,
-                                                 w + 2 * pad, n * c)
-    kg = jnp.repeat(jnp.transpose(kernels, (1, 2, 0)), c, axis=-1)
-    kg = kg.reshape(k, k, 1, n * c).astype(x.dtype)
-    out = jax.lax.conv_general_dilated(
-        xg, kg, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=n * c,
-        precision=get_precision(),
-    )
-    return jnp.transpose(out.reshape(h, w, n, c), (2, 0, 1, 3))
+    (the host data path's semantics); MXU banded-matmul formulation
+    (ops/degrade.blur_per_sample)."""
+    from ..ops.degrade import blur_per_sample
+
+    return blur_per_sample(x, kernels, correlate=False, pad_mode="symmetric")
 
 
 def synthesize_sisr_batch(key: jax.Array, im_hr: jnp.ndarray, sf: int,

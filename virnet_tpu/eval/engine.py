@@ -16,6 +16,7 @@ import numpy as np
 
 from ..models import build_model
 from ..convert import load_torch_checkpoint
+from ..precision import compute_dtype
 from .tiling import bucket_size
 
 CHOP_THRESHOLD = 160000   # pixels; above this, quadrant tiling kicks in
@@ -44,12 +45,14 @@ class Restorer:
 
             @jax.jit
             def fwd(params, x):
-                mu, kinfo, sigma = model.apply({"params": params}, x, sf)
+                with compute_dtype(None):      # fp32-exact parity eval
+                    mu, kinfo, sigma = model.apply({"params": params}, x, sf)
                 return mu
         else:
             @jax.jit
             def fwd(params, x):
-                mu, sigma = model.apply({"params": params}, x)
+                with compute_dtype(None):
+                    mu, sigma = model.apply({"params": params}, x)
                 return mu
         return fwd
 

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from ..ops.pad import pad_to_multiple
 from ..ops.upsample import conv_transpose_2x2, nearest_resize
+from ..precision import get_compute_dtype
 from .common import conv, lrelu, make_torch_bias_init, torch_kernel_init
 
 
@@ -68,6 +69,7 @@ class AttResBlock(nn.Module):
 class UpBlock(nn.Module):
     out_chn: int
     n_resblocks: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, bridge: jnp.ndarray) -> jnp.ndarray:
@@ -76,11 +78,16 @@ class UpBlock(nn.Module):
                             (2, 2, in_chn, self.out_chn))
         bias = self.param("up_bias", make_torch_bias_init(4 * in_chn),
                           (self.out_chn,))
+        cdt = get_compute_dtype()
+        if cdt is not None:
+            kernel = kernel.astype(cdt)
+            bias = bias.astype(cdt)
         x_up = conv_transpose_2x2(x, kernel, bias)
+        Block = nn.remat(AttResBlock) if self.remat else AttResBlock
         for ii in range(self.n_resblocks):
             inp = x_up + bridge if ii == 0 else x_up
-            x_up = AttResBlock(self.out_chn, conditioned=False,
-                               name=f"block_{ii}")(inp, None)
+            x_up = Block(self.out_chn, conditioned=False,
+                         name=f"block_{ii}")(inp, None)
         return x_up
 
 
@@ -89,12 +96,15 @@ class AttResUNet(nn.Module):
     n_feat: Sequence[int] = (64, 128, 196, 256)
     n_resblocks: int = 2
     extra_mode: str = "input"   # null | input | down | both
+    remat: bool = False         # rematerialize blocks (saves HBM traffic for
+                                # the SFT gate tensors in the backward pass)
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray,
                  extra_in: Optional[jnp.ndarray]) -> jnp.ndarray:
         mode = self.extra_mode.lower()
         assert mode in ("null", "input", "down", "both")
+        Block = nn.remat(AttResBlock) if self.remat else AttResBlock
         depth = len(self.n_feat)
         h, w = x_in.shape[-3], x_in.shape[-2]
         mod = 2 ** (depth - 1)
@@ -114,9 +124,9 @@ class AttResUNet(nn.Module):
         for ii in range(depth):
             nf = self.n_feat[ii]
             for jj in range(self.n_resblocks):
-                x = AttResBlock(nf, conditioned=cond_down,
-                                name=f"down_{ii}_block_{jj}")(
-                                    x, extra_cur if cond_down else None)
+                x = Block(nf, conditioned=cond_down,
+                          name=f"down_{ii}_block_{jj}")(
+                              x, extra_cur if cond_down else None)
             if ii + 1 < depth:
                 bridges.append(x)
                 x = conv(self.n_feat[ii + 1], 3, nf, stride=2,
@@ -126,7 +136,7 @@ class AttResUNet(nn.Module):
                                                x.shape[-2])
 
         for jj in reversed(range(depth - 1)):
-            x = UpBlock(self.n_feat[jj], self.n_resblocks,
+            x = UpBlock(self.n_feat[jj], self.n_resblocks, remat=self.remat,
                         name=f"up_{jj}")(x, bridges[jj])
 
         out = conv(self.out_chn, 3, self.n_feat[0], name="tail")(x)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..precision import get_precision
+from ..precision import get_compute_dtype, get_precision
 
 
 def torch_kernel_init(key, shape, dtype=jnp.float32):
@@ -66,6 +66,7 @@ def conv(features: int, kernel: int, in_features: int, *, stride: int = 1,
         kernel_init=kernel_init,
         bias_init=bias_init,
         precision=get_precision(),
+        dtype=get_compute_dtype(),   # None -> param dtype (fp32)
         name=name,
     )
 

@@ -36,6 +36,7 @@ class VIRNet(nn.Module):
     noise_cond: bool = True
     extra_mode: str = "input"
     noise_avg: bool = False
+    remat: bool = False
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
@@ -44,6 +45,7 @@ class VIRNet(nn.Module):
                                n_resblocks=self.n_resblocks,
                                extra_mode=self.extra_mode if self.noise_cond
                                else "null",
+                               remat=self.remat,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -67,6 +69,7 @@ class VIRNetSR(nn.Module):
     n_resblocks: int = 1
     extra_mode: str = "down"
     noise_avg: bool = True
+    remat: bool = False
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
@@ -77,6 +80,7 @@ class VIRNetSR(nn.Module):
         self.RNet = AttResUNet(out_chn=self.im_chn, n_feat=self.n_feat,
                                n_resblocks=self.n_resblocks,
                                extra_mode=self.extra_mode if cond else "null",
+                               remat=self.remat,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray, sf: int):

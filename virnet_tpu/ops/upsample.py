@@ -26,8 +26,16 @@ def nearest_upsample(x: jnp.ndarray, sf: int) -> jnp.ndarray:
 
 def nearest_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """NHWC nearest-neighbor resize to an arbitrary static size with torch
-    index semantics: src = floor(dst * in / out)."""
+    index semantics: src = floor(dst * in / out).
+
+    Exact integer downscale factors (the only case on the U-Net's padded
+    power-of-two sizes) lower to strided slices — gathers (and their
+    scatter-add VJPs) are slow on TPU, and this op sits in the conditioned
+    down path of every AttResUNet forward."""
     h, w = x.shape[-3], x.shape[-2]
+    if h % out_h == 0 and w % out_w == 0:
+        sh, sw = h // out_h, w // out_w
+        return x[..., ::sh, ::sw, :]
     rows = (jnp.arange(out_h) * h) // out_h
     cols = (jnp.arange(out_w) * w) // out_w
     return x[..., rows, :, :][..., :, cols, :]

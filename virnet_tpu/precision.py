@@ -42,3 +42,39 @@ def precision(p):
         yield
     finally:
         set_precision(old)
+
+
+# ---------------------------------------------------------------------------
+# Compute dtype policy (mixed precision)
+#
+# Image-restoration U-Nets at training resolution are HBM-bandwidth-bound
+# (the SISR RNet gradient moves ~94 GB/step in fp32 — measured via XLA cost
+# analysis).  bf16 activations halve that; parameters and the optimizer
+# stay fp32.  None (default) = compute in the parameter dtype (fp32).
+# ---------------------------------------------------------------------------
+
+_COMPUTE_DTYPE = None
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def set_compute_dtype(dtype):
+    """dtype: None | 'bfloat16' | 'float32' | a jnp dtype."""
+    global _COMPUTE_DTYPE
+    if isinstance(dtype, str):
+        import jax.numpy as jnp
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                 "none": None}[dtype.lower()]
+    _COMPUTE_DTYPE = dtype
+
+
+@contextmanager
+def compute_dtype(dtype):
+    old = _COMPUTE_DTYPE
+    set_compute_dtype(dtype)
+    try:
+        yield
+    finally:
+        set_compute_dtype(old)

@@ -30,6 +30,7 @@ from ..data.denoise_synth import synthesize_noisy_batch
 from ..losses import elbo_denoising
 from ..models import VIRNet
 from ..ops.degrade import noise_estimate
+from ..precision import compute_dtype
 from .checkpoint import CheckpointManager
 from .mesh import make_mesh, replicate, shard_batch
 from .optim import build_optimizer, subtree_grad_norms
@@ -58,6 +59,7 @@ class DenoiseTrainConfig:
     eps2: float = 1e-6
     var_window: int = 7
     noise_mode: str = "niid"    # niid | iid  (synthetic) / 'real'
+    mixed_precision: bool = True  # bf16 activations (params/opt stay fp32)
     use_mixup: bool = True      # real-data mode only (reference
                                 # train_denoising_real.py:163)
     seed: int = 1234
@@ -121,7 +123,11 @@ class DenoiseTrainer:
                 im_noisy, sigma_gt = synthesize_noisy_batch(
                     key, im_gt, mode=cfg.noise_mode)
             beta0 = alpha0 * sigma_gt
-            mu, sigma = model.apply({"params": params}, im_noisy)
+            cdt = jnp.bfloat16 if cfg.mixed_precision else None
+            with compute_dtype(cdt):
+                mu, sigma = model.apply({"params": params}, im_noisy)
+            mu = mu.astype(jnp.float32)
+            sigma = sigma.astype(jnp.float32)
             loss, lh, klg, klig = elbo_denoising(
                 mu, sigma, im_noisy, im_gt, cfg.eps2, alpha0, beta0)
             return loss, dict(lh=lh, kl_gauss=klg, kl_ig=klig)

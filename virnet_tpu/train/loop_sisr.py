@@ -24,6 +24,7 @@ import optax
 from ..data.sisr_synth import synthesize_sisr_batch
 from ..losses import elbo_sisr
 from ..models import VIRNetSR
+from ..precision import compute_dtype
 from .checkpoint import CheckpointManager
 from .mesh import make_mesh, replicate, shard_batch
 from .optim import build_optimizer, subtree_grad_norms
@@ -64,6 +65,7 @@ class SISRTrainConfig:
     var_window: int = 9
     kappa0: float = 50.0
     penalty_K: tuple = (0.02, 2.0)
+    mixed_precision: bool = True  # bf16 activations (params/opt stay fp32)
     seed: int = 1234
     save_dir: str = "./train_save_sisr"
     print_freq: int = 100
@@ -111,8 +113,13 @@ class SISRTrainer:
                 k_synth, im_hr, cfg.sf, cfg.k_size, cfg.kernel_shift,
                 cfg.downsampler, cfg.noise_level)
             sigma_prior = (batch.nlevel ** 2).reshape(-1, 1, 1, 1)
-            mu, kinfo_est, sigma_est = model.apply(
-                {"params": params}, batch.im_lr, cfg.sf)
+            cdt = jnp.bfloat16 if cfg.mixed_precision else None
+            with compute_dtype(cdt):
+                mu, kinfo_est, sigma_est = model.apply(
+                    {"params": params}, batch.im_lr, cfg.sf)
+            mu = mu.astype(jnp.float32)
+            kinfo_est = kinfo_est.astype(jnp.float32)
+            sigma_est = sigma_est.astype(jnp.float32)
             loss, aux = elbo_sisr(
                 k_elbo, mu, sigma_est, kinfo_est, batch.im_hr, batch.im_lr,
                 sigma_prior, alpha0, batch.kinfo, cfg.kappa0, cfg.r2,
