@@ -1,0 +1,51 @@
+"""Pallas stencil blur: interpret-mode parity vs the matmul formulation
+(the TPU-compiled path is exercised in bench/TPU runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virnet_tpu.ops.degrade import blur_per_sample
+
+pallas_blur = pytest.importorskip(
+    "virnet_tpu.ops.pallas_blur", reason="pallas unavailable")
+
+
+def test_forward_matches_matmul_path():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 16, 18, 3)).astype(np.float32))
+    k = jnp.asarray(rng.random((2, 5, 5)).astype(np.float32))
+    want = blur_per_sample(x, k, correlate=True)
+    got = pallas_blur.blur_per_sample_pallas(x, k, "reflect", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_forward_symmetric_padding():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 12, 12, 1)).astype(np.float32))
+    k = jnp.asarray(rng.random((1, 3, 3)).astype(np.float32))
+    want = blur_per_sample(x, k, correlate=True, pad_mode="symmetric")
+    got = pallas_blur.blur_per_sample_pallas(x, k, "symmetric", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gradients_match_matmul_path():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 10, 10, 2)).astype(np.float32))
+    k = jnp.asarray(rng.random((2, 3, 3)).astype(np.float32))
+    g = jnp.asarray(rng.random((2, 10, 10, 2)).astype(np.float32))
+
+    def loss_ref(x, k):
+        return jnp.sum(blur_per_sample(x, k, correlate=True) * g)
+
+    def loss_pl(x, k):
+        return jnp.sum(pallas_blur.blur_per_sample_pallas(x, k, "reflect",
+                                                          True) * g)
+
+    dx_ref, dk_ref = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    dx_pl, dk_pl = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(dx_pl), np.asarray(dx_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk_pl), np.asarray(dk_ref),
+                               atol=1e-4)

@@ -1,0 +1,244 @@
+"""Pallas TPU kernel: per-sample k x k stencil blur.
+
+The per-sample blur (every batch element convolved with its own kernel) is
+the one op in this framework with no good XLA lowering:
+
+  * grouped conv (feature_group_count = N*C): pads each 1-wide group to the
+    128-lane width — measured ~280 s compile and VPU-bound execution;
+  * banded-matmul reformulation (ops/degrade.blur_per_sample): fast on the
+    MXU but inflates FLOPs ~20x (k matmuls over a W+2p contraction).
+
+This kernel computes the exact stencil on the VPU with no FLOP inflation:
+grid (N, C); each program holds one padded (Hp, Wp) plane in VMEM plus its
+(k, k) kernel and accumulates k² statically-shifted multiply-adds — all
+slices static, so Mosaic emits pure vector ops.  A custom VJP reuses the
+same kernel: dX is the 'full' correlation of the cotangent with the flipped
+kernel, and dW contracts shifted input windows against the cotangent.
+
+Use via blur_per_sample(..., impl='pallas'); falls back to the matmul path
+on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas requires a TPU-capable jaxlib; keep importable everywhere
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _stencil_kernel(k: int, h: int, w: int):
+    def kern(w_ref, x_ref, o_ref):
+        # fori over kernel rows (dynamic sublane slice) + unrolled lane
+        # shifts; accumulate in-place into the output ref so Mosaic keeps
+        # ONE live buffer (a fully unrolled k² expression allocates every
+        # partial on the VMEM stack and OOMs for k = 21).
+        o_ref[0, 0] = jnp.zeros((h, w), jnp.float32)
+
+        def body(di, _):
+            row = x_ref[0, 0, pl.ds(di, h), :]          # (h, Wp)
+            wrow = w_ref[0, 0, pl.ds(di, 1), :]         # (1, k)
+            partial = wrow[0, 0] * row[:, 0:w]
+            for dj in range(1, k):
+                partial = partial + wrow[0, dj] * row[:, dj:dj + w]
+            o_ref[0, 0] += partial
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
+    return kern
+
+
+# The axon chipless compile helper fails on stencil programs whose padded
+# input block exceeds ~96 sublanes / 128 lanes; larger images run as
+# overlapping tiles sliced in jnp around fixed-shape kernels.  The column
+# tile is chosen per kernel size so the PADDED width fits one lane tile.
+_MAX_ROWS = 64
+
+
+def _max_cols(k: int) -> int:
+    return max(128 - (k - 1), 32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _blur_pallas_valid(xp: jnp.ndarray, kernels: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """VALID correlation: xp (N, C, Hp, Wp) fp32, kernels (N, k, k) fp32
+    -> (N, C, H, W)."""
+    n, c, hp, wp = xp.shape
+    k = kernels.shape[-1]
+    h, w = hp - k + 1, wp - k + 1
+
+    if h > _MAX_ROWS:
+        outs = []
+        for start in range(0, h, _MAX_ROWS):
+            rows = min(_MAX_ROWS, h - start)
+            slab = jax.lax.slice_in_dim(xp, start, start + rows + k - 1,
+                                        axis=2)
+            outs.append(_blur_pallas_valid(slab, kernels,
+                                           interpret=interpret))
+        return jnp.concatenate(outs, axis=2)
+    max_cols = _max_cols(k)
+    if w > max_cols:
+        outs = []
+        for start in range(0, w, max_cols):
+            cols = min(max_cols, w - start)
+            slab = jax.lax.slice_in_dim(xp, start, start + cols + k - 1,
+                                        axis=3)
+            outs.append(_blur_pallas_valid(slab, kernels,
+                                           interpret=interpret))
+        return jnp.concatenate(outs, axis=3)
+
+    return pl.pallas_call(
+        _stencil_kernel(k, h, w),
+        grid=(n, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, k, k), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hp, wp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * h * w * k * k,
+            bytes_accessed=4 * n * c * (hp * wp + h * w),
+            transcendentals=0),
+        interpret=interpret,
+    )(kernels[:, None].astype(jnp.float32), xp.astype(jnp.float32))
+
+
+def _dw_kernel(k: int, h: int, w: int, c: int):
+    def kern(x_ref, g_ref, o_ref):
+        o_ref[0] = jnp.zeros((k, k), jnp.float32)
+
+        def body(di, _):
+            row_sums = []
+            for dj in range(k):
+                s = jnp.zeros((), jnp.float32)
+                for cc in range(c):
+                    s = s + jnp.sum(
+                        x_ref[0, cc, pl.ds(di, h), dj:dj + w]
+                        * g_ref[0, cc])
+                row_sums.append(s)
+            o_ref[0, pl.ds(di, 1), :] = jnp.stack(row_sums)[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _blur_pallas_dw(xp: jnp.ndarray, g: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """dL/dW: xp (N, C, Hp, Wp), g (N, C, H, W) -> (N, k, k)."""
+    n, c, hp, wp = xp.shape
+    h, w = g.shape[-2:]
+    k = hp - h + 1
+
+    if h > _MAX_ROWS:
+        acc = jnp.zeros((n, k, k), jnp.float32)
+        for start in range(0, h, _MAX_ROWS):
+            rows = min(_MAX_ROWS, h - start)
+            xp_slab = jax.lax.slice_in_dim(xp, start, start + rows + k - 1,
+                                           axis=2)
+            g_slab = jax.lax.slice_in_dim(g, start, start + rows, axis=2)
+            acc = acc + _blur_pallas_dw(xp_slab, g_slab,
+                                        interpret=interpret)
+        return acc
+    if w > _max_cols(k):
+        max_cols = _max_cols(k)
+        acc = jnp.zeros((n, k, k), jnp.float32)
+        for start in range(0, w, max_cols):
+            cols = min(max_cols, w - start)
+            xp_slab = jax.lax.slice_in_dim(xp, start, start + cols + k - 1,
+                                           axis=3)
+            g_slab = jax.lax.slice_in_dim(g, start, start + cols, axis=3)
+            acc = acc + _blur_pallas_dw(xp_slab, g_slab,
+                                        interpret=interpret)
+        return acc
+
+    return pl.pallas_call(
+        _dw_kernel(k, h, w, c),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k, k), jnp.float32),
+        interpret=interpret,
+    )(xp.astype(jnp.float32), g.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def blur_per_sample_pallas(x: jnp.ndarray, kernels: jnp.ndarray,
+                           pad_mode: str = "reflect",
+                           interpret: bool = False) -> jnp.ndarray:
+    """Per-sample correlation blur, 'same' output (NHWC, kernels (N, k, k)).
+
+    Semantics identical to ops.degrade.blur_per_sample(correlate=True).
+    """
+    out, _ = _fwd(x, kernels, pad_mode, interpret)
+    return out
+
+
+def _pad(x, pad, pad_mode):
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   mode=pad_mode)
+
+
+def _fwd(x, kernels, pad_mode, interpret):
+    k = kernels.shape[-1]
+    xp = _pad(x, k // 2, pad_mode)                      # N,Hp,Wp,C
+    xp_nchw = jnp.transpose(xp, (0, 3, 1, 2))
+    y = _blur_pallas_valid(xp_nchw, kernels, interpret=interpret)
+    out = jnp.transpose(y, (0, 2, 3, 1)).astype(x.dtype)
+    return out, (x, kernels)
+
+
+def _bwd(pad_mode, interpret, res, g):
+    x, kernels = res
+    k = kernels.shape[-1]
+    pad = k // 2
+    g_nchw = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
+
+    # dX: full correlation of g with the flipped kernel, then the VJP of the
+    # padding (jax handles the pad VJP when we re-express pad via jnp.pad's
+    # linearization — do it manually: pad g by k-1, correlate with flip(w),
+    # then fold the halo back per pad_mode).
+    def repad(t):  # differentiable pad wrapper to reuse jax's pad VJP
+        return _pad(t, pad, pad_mode)
+
+    _, pad_vjp = jax.vjp(repad, x)
+    gk = jnp.flip(kernels, axis=(-2, -1))
+    g_full = jnp.pad(g_nchw, ((0, 0), (0, 0), (k - 1, k - 1),
+                              (k - 1, k - 1)))
+    dxp = _blur_pallas_valid(g_full, gk, interpret=interpret)   # N,C,Hp,Wp
+    dxp_nhwc = jnp.transpose(dxp, (0, 2, 3, 1)).astype(x.dtype)
+    dx = pad_vjp(dxp_nhwc)[0]
+
+    # dW: contract shifted input windows with g
+    xp_nchw = jnp.transpose(_pad(x, pad, pad_mode).astype(jnp.float32),
+                            (0, 3, 1, 2))
+    dw = _blur_pallas_dw(xp_nchw, g_nchw, interpret=interpret)
+    return dx, dw.astype(kernels.dtype)
+
+
+blur_per_sample_pallas.defvjp(_fwd, _bwd)
