@@ -1,0 +1,71 @@
+"""Restorer engine: pad-bucket, chop, gray handling — with a tiny model."""
+
+import numpy as np
+import pytest
+
+import virnet_tpu.eval.engine as engine_mod
+from virnet_tpu.eval.engine import Restorer
+from virnet_tpu.models import ARCH_PRESETS
+
+
+@pytest.fixture(scope="module")
+def tiny_restorer():
+    # shrink the preset so CPU tests stay fast; params built fresh
+    import jax
+
+    from virnet_tpu.models import build_model
+
+    overrides = dict(n_feat=(8, 16), dep_S=3, n_resblocks=1)
+    model = build_model("denoising-syn", **overrides)
+    import jax.numpy as jnp
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3)))["params"]
+    return Restorer("denoising-syn", params=params, pad_multiple=16,
+                    **overrides)
+
+
+def test_restore_image_arbitrary_size(tiny_restorer):
+    rng = np.random.default_rng(0)
+    im = rng.random((37, 53, 3)).astype(np.float32)
+    out = tiny_restorer.restore_image(im)
+    assert out.shape == (37, 53, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_restore_gray_image(tiny_restorer):
+    rng = np.random.default_rng(1)
+    im = rng.random((20, 24)).astype(np.float32)
+    out = tiny_restorer.restore_image(im)
+    assert out.shape == (20, 24)
+
+
+def test_restore_large_image_uses_chop(tiny_restorer, monkeypatch):
+    # drop the threshold so a small image exercises the chop path.
+    # (Chop output differs from whole-image output near tile seams by
+    # construction — tiles see reflect padding at fake boundaries, exactly
+    # like the reference's forward_chop — so this checks structure, and
+    # exact stitching correctness is covered by the linear-function tests
+    # in test_eval_harness.py.)
+    monkeypatch.setattr(engine_mod, "CHOP_THRESHOLD", 512)
+    rng = np.random.default_rng(2)
+    im = rng.random((48, 64, 3)).astype(np.float32)
+    out_chop = tiny_restorer.restore_image(im)
+    assert out_chop.shape == im.shape
+    assert np.all(np.isfinite(out_chop))
+    assert out_chop.min() >= 0.0 and out_chop.max() <= 1.0
+
+
+def test_sisr_restorer_scales():
+    import jax
+    import jax.numpy as jnp
+
+    from virnet_tpu.models import build_model
+
+    overrides = dict(n_feat=(8, 16), dep_S=3, dep_K=2, n_resblocks=1)
+    model = build_model("sisr", **overrides)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        2)["params"]
+    r = Restorer("sisr", params=params, sf=2, pad_multiple=8, **overrides)
+    im = np.random.default_rng(3).random((21, 17, 3)).astype(np.float32)
+    out = r.restore_image(im)
+    assert out.shape == (42, 34, 3)
