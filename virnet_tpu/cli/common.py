@@ -25,6 +25,9 @@ def trainer_argparser(default_config: str) -> argparse.ArgumentParser:
     p.add_argument("--epochs", default=None, type=int)
     p.add_argument("--steps_per_epoch", default=None, type=int)
     p.add_argument("--batch_size", default=None, type=int)
+    p.add_argument("--auto_resume", action="store_true", default=None,
+                   help="restart from the latest checkpoint on crash "
+                        "(train/resilience.py)")
     return p
 
 

@@ -83,31 +83,38 @@ def main(argv=None):
     have_val = (Path(cfg["test_noisy_path"]).exists()
                 and Path(cfg["test_gt_path"]).exists())
 
-    epoch_start = trainer.restore() if cfg.get("resume") else 0
     steps = cfg.get("steps_per_epoch", 10000)
 
-    for epoch in range(epoch_start, cfg["epochs"]):
-        sampler.reset_seed(epoch)
+    def run_epochs(epoch_start):
+      for epoch in range(epoch_start, cfg["epochs"]):
+          sampler.reset_seed(epoch)
 
-        def batches():
-            for _ in range(steps):
-                yield sampler.sample(cfg["batch_size"])
+          def batches():
+              for _ in range(steps):
+                  yield sampler.sample(cfg["batch_size"])
 
-        stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
-        writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
+          stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+          writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
 
-        if have_val:
-            restore = eval_restore_fn(trainer.model, trainer.params)
-            metrics = eval_on_pairs(
-                restore, sidd_val_pairs(cfg["test_noisy_path"],
-                                        cfg["test_gt_path"]))
-            logger.info(f"test: PSNR={metrics['psnr']:4.2f}, "
-                        f"SSIM={metrics['ssim']:5.4f}")
-            writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
-            writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
+          if have_val:
+              restore = eval_restore_fn(trainer.model, trainer.params)
+              metrics = eval_on_pairs(
+                  restore, sidd_val_pairs(cfg["test_noisy_path"],
+                                          cfg["test_gt_path"]))
+              logger.info(f"test: PSNR={metrics['psnr']:4.2f}, "
+                          f"SSIM={metrics['ssim']:5.4f}")
+              writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
+              writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
 
-        trainer.save(epoch)
-        logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+          trainer.save(epoch)
+          logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+
+    if cfg.get("auto_resume"):
+        from ..train.resilience import run_with_auto_resume
+        run_with_auto_resume(run_epochs, trainer.restore,
+                             log_fn=logger.info)
+    else:
+        run_epochs(trainer.restore() if cfg.get("resume") else 0)
 
     writer.close()
 

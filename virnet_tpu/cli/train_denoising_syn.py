@@ -68,33 +68,40 @@ def main(argv=None):
     val_paths = sorted(str(p) for p in Path(cfg["val_data"]).glob("*.png"))
     val_set = DenoiseValSet(val_paths) if val_paths else None
 
-    epoch_start = trainer.restore() if cfg.get("resume") else 0
     steps = cfg.get("steps_per_epoch", 10000)
 
-    for epoch in range(epoch_start, cfg["epochs"]):
-        sampler.reset_seed(epoch)
+    def run_epochs(epoch_start):
+      for epoch in range(epoch_start, cfg["epochs"]):
+          sampler.reset_seed(epoch)
 
-        def batches():
-            for _ in range(steps):
-                yield sampler.sample(cfg["batch_size"])
+          def batches():
+              for _ in range(steps):
+                  yield sampler.sample(cfg["batch_size"])
 
-        stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
-        writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
-        logger.info(f"train: Loss={stats.get('loss', 0):+.2e}, "
-                    f"lh={stats.get('lh', 0):+.2e}, "
-                    f"KLG={stats.get('kl_gauss', 0):+.2e}, "
-                    f"KLIG={stats.get('kl_ig', 0):+.2e}")
+          stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+          writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
+          logger.info(f"train: Loss={stats.get('loss', 0):+.2e}, "
+                      f"lh={stats.get('lh', 0):+.2e}, "
+                      f"KLG={stats.get('kl_gauss', 0):+.2e}, "
+                      f"KLIG={stats.get('kl_ig', 0):+.2e}")
 
-        if val_set is not None:
-            restore = eval_restore_fn(trainer.model, trainer.params)
-            metrics = eval_on_pairs(restore, iter(val_set))
-            logger.info(f"test: PSNR={metrics['psnr']:4.2f}, "
-                        f"SSIM={metrics['ssim']:5.4f}")
-            writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
-            writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
+          if val_set is not None:
+              restore = eval_restore_fn(trainer.model, trainer.params)
+              metrics = eval_on_pairs(restore, iter(val_set))
+              logger.info(f"test: PSNR={metrics['psnr']:4.2f}, "
+                          f"SSIM={metrics['ssim']:5.4f}")
+              writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
+              writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
 
-        trainer.save(epoch)
-        logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+          trainer.save(epoch)
+          logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+
+    if cfg.get("auto_resume"):
+        from ..train.resilience import run_with_auto_resume
+        run_with_auto_resume(run_epochs, trainer.restore,
+                             log_fn=logger.info)
+    else:
+        run_epochs(trainer.restore() if cfg.get("resume") else 0)
 
     writer.close()
 

@@ -89,30 +89,37 @@ def main(argv=None):
         for nt in noise_types
     } if val_paths else {}
 
-    epoch_start = trainer.restore() if cfg.get("resume") else 0
     steps = cfg.get("steps_per_epoch", 10000)
 
-    for epoch in range(epoch_start, cfg["epochs"]):
-        sampler.reset_seed(epoch * 1000)
+    def run_epochs(epoch_start):
+      for epoch in range(epoch_start, cfg["epochs"]):
+          sampler.reset_seed(epoch * 1000)
 
-        def batches():
-            for _ in range(steps):
-                yield sampler.sample(cfg["batch_size"])
+          def batches():
+              for _ in range(steps):
+                  yield sampler.sample(cfg["batch_size"])
 
-        stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
-        writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
+          stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+          writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
 
-        for nt, val_set in val_sets.items():
-            restore = eval_restore_fn(trainer.model, trainer.params, sf=sf)
-            pairs = ((lr, hr) for hr, lr, _ in val_set)
-            metrics = eval_on_pairs(restore, pairs, border=sf, ycbcr=True)
-            logger.info(f"test[{nt}]: PSNR={metrics['psnr']:4.2f}, "
-                        f"SSIM={metrics['ssim']:5.4f}")
-            writer.scalar(f"PSNR_epoch_test_{nt}", metrics["psnr"], epoch)
-            writer.scalar(f"SSIM_epoch_test_{nt}", metrics["ssim"], epoch)
+          for nt, val_set in val_sets.items():
+              restore = eval_restore_fn(trainer.model, trainer.params, sf=sf)
+              pairs = ((lr, hr) for hr, lr, _ in val_set)
+              metrics = eval_on_pairs(restore, pairs, border=sf, ycbcr=True)
+              logger.info(f"test[{nt}]: PSNR={metrics['psnr']:4.2f}, "
+                          f"SSIM={metrics['ssim']:5.4f}")
+              writer.scalar(f"PSNR_epoch_test_{nt}", metrics["psnr"], epoch)
+              writer.scalar(f"SSIM_epoch_test_{nt}", metrics["ssim"], epoch)
 
-        trainer.save(epoch)
-        logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+          trainer.save(epoch)
+          logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+
+    if cfg.get("auto_resume"):
+        from ..train.resilience import run_with_auto_resume
+        run_with_auto_resume(run_epochs, trainer.restore,
+                             log_fn=logger.info)
+    else:
+        run_epochs(trainer.restore() if cfg.get("resume") else 0)
 
     writer.close()
 

@@ -21,6 +21,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (the no-op of the reference's MASTER_ADDR /
+    NCCL port plumbing, train_denoising_syn.py:35-39): on TPU pods the
+    runtime discovers everything; arguments are only needed off-pod.
+
+    Returns the process count.  Safe to call on a single host (no-op).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return jax.process_count()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+    return jax.process_count()
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               axis_names: Sequence[str] = ("data",),
               shape: Optional[Sequence[int]] = None) -> Mesh:
