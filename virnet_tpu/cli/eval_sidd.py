@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--no_flip", action="store_true",
                    help="disable the x8 flip ensemble")
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--device_metrics", action="store_true",
+                   help="score PSNR/SSIM on device (matches the host "
+                        "protocol scorer within ~1e-3 dB; much faster)")
     p.add_argument("--save_dir", type=str, default="")
     args = p.parse_args(argv)
 
@@ -89,9 +92,18 @@ def main(argv=None):
         out_u8 = img_as_ubyte(np.clip(out_np, 0.0, 1.0))
         denoised[start:start + args.batch] = out_u8
         if flat_gt is not None:
-            for i in range(out_u8.shape[0]):
-                psnr_all += calculate_psnr(flat_gt[start + i], out_u8[i])
-                ssim_all += calculate_ssim(flat_gt[start + i], out_u8[i])
+            if args.device_metrics:
+                from ..eval.metrics_device import (batch_psnr_device,
+                                                   batch_ssim_device)
+                gt_f = jnp.asarray(
+                    img_as_float32(flat_gt[start:start + args.batch]))
+                out_f = jnp.asarray(img_as_float32(out_u8))
+                psnr_all += float(batch_psnr_device(out_f, gt_f).sum())
+                ssim_all += float(batch_ssim_device(out_f, gt_f).sum())
+            else:
+                for i in range(out_u8.shape[0]):
+                    psnr_all += calculate_psnr(flat_gt[start + i], out_u8[i])
+                    ssim_all += calculate_ssim(flat_gt[start + i], out_u8[i])
         if (start // args.batch) % 10 == 0:
             logger.info(f"{start + out_u8.shape[0]}/{n_blocks} blocks")
 
