@@ -70,3 +70,25 @@ def eval_on_pairs(restore, pairs, border: int = 0,
         psnrs.append(batch_psnr(out[None], gt[None], border, ycbcr))
         ssims.append(batch_ssim(out[None], gt[None], border, ycbcr))
     return dict(psnr=float(np.mean(psnrs)), ssim=float(np.mean(ssims)))
+
+
+def log_val_image_grids(writer, restore, pairs, epoch: int, tag: str = "test",
+                        max_images: int = 4, crop: int = 256):
+    """TensorBoard image grids of (restored, GT, input) for a few val images
+    (the reference's vutils.make_grid summaries,
+    train_denoising_syn.py:199-211)."""
+    ins, outs, gts = [], [], []
+    for inp, gt in pairs:
+        if len(ins) >= max_images:
+            break
+        ins.append(np.clip(inp[:crop, :crop], 0, 1))
+        outs.append(np.clip(restore(inp)[:crop, :crop], 0, 1))
+        gts.append(np.clip(gt[:crop, :crop], 0, 1))
+    if not outs:
+        return
+    h = min(x.shape[0] for x in ins + outs + gts)
+    w = min(x.shape[1] for x in ins + outs + gts)
+    stack = lambda xs: np.stack([x[:h, :w] for x in xs])  # noqa: E731
+    writer.image_grid(f"{tag} Restored images", stack(outs), epoch)
+    writer.image_grid(f"{tag} GroundTruth", stack(gts), epoch)
+    writer.image_grid(f"{tag} Input", stack(ins), epoch)

@@ -21,7 +21,7 @@ from ..data.sources import PairedPatchSampler
 from ..train.logging import TrainWriter, make_log
 from ..train.loop_denoise import DenoiseTrainConfig, DenoiseTrainer
 from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
-                     trainer_argparser)
+                     log_val_image_grids, trainer_argparser)
 
 
 def build_trainer(cfg: dict) -> DenoiseTrainer:
@@ -105,6 +105,10 @@ def main(argv=None):
                           f"SSIM={metrics['ssim']:5.4f}")
               writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
               writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
+              log_val_image_grids(
+                  writer, restore,
+                  sidd_val_pairs(cfg["test_noisy_path"],
+                                 cfg["test_gt_path"]), epoch)
 
           trainer.save(epoch)
           logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")

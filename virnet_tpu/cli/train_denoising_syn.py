@@ -21,7 +21,7 @@ from ..data.sources import ImageCache, PatchSampler, glob_images
 from ..train.logging import TrainWriter, make_log
 from ..train.loop_denoise import DenoiseTrainConfig, DenoiseTrainer
 from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
-                     trainer_argparser)
+                     log_val_image_grids, trainer_argparser)
 
 
 def build_trainer(cfg: dict) -> DenoiseTrainer:
@@ -92,6 +92,7 @@ def main(argv=None):
                           f"SSIM={metrics['ssim']:5.4f}")
               writer.scalar("PSNR_epoch_test", metrics["psnr"], epoch)
               writer.scalar("SSIM_epoch_test", metrics["ssim"], epoch)
+              log_val_image_grids(writer, restore, iter(val_set), epoch)
 
           trainer.save(epoch)
           logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")

@@ -21,7 +21,7 @@ from ..data.sources import ImageCache, PatchSampler
 from ..train.logging import TrainWriter, make_log
 from ..train.loop_sisr import SISRTrainConfig, SISRTrainer
 from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
-                     trainer_argparser)
+                     log_val_image_grids, trainer_argparser)
 
 
 def build_trainer(cfg: dict) -> SISRTrainer:
@@ -110,6 +110,22 @@ def main(argv=None):
                           f"SSIM={metrics['ssim']:5.4f}")
               writer.scalar(f"PSNR_epoch_test_{nt}", metrics["psnr"], epoch)
               writer.scalar(f"SSIM_epoch_test_{nt}", metrics["ssim"], epoch)
+              log_val_image_grids(writer, restore,
+                                  ((lr, hr) for hr, lr, _ in val_set),
+                                  epoch, tag=f"test_{nt}")
+              # estimated-vs-GT kernel images (reference train_SISR.py:251-263)
+              import jax.numpy as jnp
+              from ..ops.kernels import kinfo2kernel
+              hr0, lr0, kinfo_gt0 = next(iter(val_set))
+              import jax
+              _, kinfo_est, _ = trainer.model.apply(
+                  {"params": trainer.params}, jnp.asarray(lr0[None]), sf)
+              kers = np.asarray(kinfo2kernel(
+                  jnp.concatenate([kinfo_est,
+                                   jnp.asarray(kinfo_gt0[None])]),
+                  k_size=cfg.get("k_size", 21), sf=sf))
+              writer.image_grid(f"test_{nt} Kernel est|gt",
+                                kers[..., None], epoch)
 
           trainer.save(epoch)
           logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
