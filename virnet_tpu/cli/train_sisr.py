@@ -49,7 +49,9 @@ def build_trainer(cfg: dict) -> SISRTrainer:
         penalty_K=tuple(cfg.get("penalty_K", (0.02, 2))),
         mixed_precision=as_bool(cfg.get("mixed_precision", True)),
         save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
-    return SISRTrainer(tcfg)
+    # JPEG noise needs libjpeg round trips -> host degradation path
+    host_batches = as_bool(cfg.get("add_jpeg", False))
+    return SISRTrainer(tcfg, host_batches=host_batches)
 
 
 def main(argv=None):
@@ -71,7 +73,17 @@ def main(argv=None):
         raise SystemExit("no HR patches found — check train_hr_patchs")
     logger.info(f"Number of HR patches: {len(hr_paths)}")
     cache = ImageCache(hr_paths)
-    sampler = PatchSampler(cache, cfg["hr_size"])
+    if trainer.host_batches:
+        from ..data.sisr_host import HostSISRSampler
+        sampler = HostSISRSampler(
+            cache, cfg["hr_size"], sf, k_size=cfg.get("k_size", 21),
+            kernel_shift=as_bool(cfg.get("kernel_shift", False)),
+            downsampler=str(cfg.get("downsampler", "Bicubic")).lower(),
+            noise_level=tuple(cfg.get("noise_level", (0.1, 15))),
+            noise_jpeg=tuple(cfg.get("noise_jpeg", (0.1, 10))),
+            add_jpeg=True)
+    else:
+        sampler = PatchSampler(cache, cfg["hr_size"])
 
     # validation sets per noise type (reference train_SISR.py:277-321)
     noise_types = ["Gaussian"]

@@ -72,8 +72,14 @@ class SISRTrainConfig:
 
 
 class SISRTrainer:
-    def __init__(self, cfg: SISRTrainConfig, mesh=None):
+    """``host_batches=True`` consumes host-degraded (hr, lr, kinfo, nlevel)
+    batches (data/sisr_host.py — needed for the JPEG noise branch);
+    otherwise HR batches are degraded on device (data/sisr_synth.py)."""
+
+    def __init__(self, cfg: SISRTrainConfig, mesh=None,
+                 host_batches: bool = False):
         self.cfg = cfg
+        self.host_batches = host_batches
         self.mesh = mesh if mesh is not None else make_mesh()
 
         self.model = VIRNetSR(
@@ -107,11 +113,19 @@ class SISRTrainer:
         tx = self.tx
         alpha0 = self.alpha0
 
-        def loss_fn(params, im_hr, key):
+        host_batches = self.host_batches
+
+        def loss_fn(params, data, key):
             k_synth, k_elbo = jax.random.split(key)
-            batch = synthesize_sisr_batch(
-                k_synth, im_hr, cfg.sf, cfg.k_size, cfg.kernel_shift,
-                cfg.downsampler, cfg.noise_level)
+            if host_batches:
+                from ..data.sisr_synth import SISRBatch
+                im_hr, im_lr, kinfo_gt, nlevel = data
+                batch = SISRBatch(im_hr=im_hr, im_lr=im_lr, im_blur=im_lr,
+                                  kinfo=kinfo_gt, nlevel=nlevel)
+            else:
+                batch = synthesize_sisr_batch(
+                    k_synth, data, cfg.sf, cfg.k_size, cfg.kernel_shift,
+                    cfg.downsampler, cfg.noise_level)
             sigma_prior = (batch.nlevel ** 2).reshape(-1, 1, 1, 1)
             cdt = jnp.bfloat16 if cfg.mixed_precision else None
             with compute_dtype(cdt):
