@@ -51,12 +51,12 @@ def test_trainer_host_batches_mode(cache):
 
     cfg = SISRTrainConfig(sigma_chn=1, dep_S=3, dep_K=2, n_feat=(8, 16),
                           n_resblocks=1, extra_mode="both", sf=2, k_size=7,
-                          batch_size=4, hr_size=32, epochs=1,
+                          batch_size=8, hr_size=32, epochs=1,
                           steps_per_epoch=2,
                           save_dir="/tmp/test_sisr_host_trainer")
     tr = SISRTrainer(cfg, host_batches=True)
     sampler = HostSISRSampler(cache, 32, 2, k_size=7, add_jpeg=True, seed=1)
-    b = sampler.sample(4)
+    b = sampler.sample(8)
     aux = tr.run_step((jnp.asarray(b.im_hr), jnp.asarray(b.im_lr),
                        jnp.asarray(b.kinfo), jnp.asarray(b.nlevel)),
                       epoch=0)
