@@ -11,7 +11,7 @@ reference does (datasets/SISRDatasets.py:160-162).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,6 @@ ELBO.
 from __future__ import annotations
 
 import math
-import random
 from typing import NamedTuple, Sequence
 
 import numpy as np

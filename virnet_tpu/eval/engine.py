@@ -7,8 +7,7 @@ jax; the bucket grid keeps the number of distinct shapes small.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

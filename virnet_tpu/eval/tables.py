@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +21,7 @@ from ..data.eval_sets import DenoiseBenchmark, table5_kernels
 from ..ops.color import imread
 from ..ops.degrade import degrade_np
 from ..ops.quant import img_as_float32, img_as_ubyte
+from ..ops.pad import modcrop
 from .engine import Restorer
 from .metrics import calculate_psnr, calculate_ssim
 from .tta import tta_x8
@@ -129,7 +130,6 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
             for im_path in im_list:
                 name = Path(im_path).stem
                 im_gt = imread(im_path, chn="rgb", dtype="uint8")
-                from ..ops.pad import modcrop
                 im_gt = modcrop(im_gt, sf)
                 if im_gt.ndim == 2:
                     im_gt = np.stack([im_gt] * 3, axis=2)

@@ -17,13 +17,11 @@ per-epoch PSNR/SSIM validation and checkpoint.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..data.denoise_synth import synthesize_noisy_batch
@@ -89,6 +87,12 @@ class DenoiseTrainer:
             cfg.lr, cfg.lr_min, cfg.epochs, cfg.warmup_epochs,
             cfg.steps_per_epoch,
             clip_map={"rnet": cfg.clip_grad_R, "snet": cfg.clip_grad_S})
+
+        n_dev = self.mesh.devices.size
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by the "
+                f"data-mesh size ({n_dev} devices)")
 
         key = jax.random.PRNGKey(cfg.seed)
         dummy = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.im_chn))

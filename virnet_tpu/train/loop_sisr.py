@@ -95,6 +95,12 @@ class SISRTrainer:
             clip_map={"rnet": cfg.clip_grad_R, "snet": cfg.clip_grad_S,
                       "knet": cfg.clip_grad_K})
 
+        n_dev = self.mesh.devices.size
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by the "
+                f"data-mesh size ({n_dev} devices)")
+
         key = jax.random.PRNGKey(cfg.seed)
         lr_size = cfg.hr_size // cfg.sf
         dummy = jnp.zeros((1, lr_size, lr_size, cfg.im_chn))
