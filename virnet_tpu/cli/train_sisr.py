@@ -117,7 +117,8 @@ def main(argv=None):
           for nt, val_set in val_sets.items():
               restore = eval_restore_fn(trainer.model, trainer.params, sf=sf)
               pairs = ((lr, hr) for hr, lr, _ in val_set)
-              metrics = eval_on_pairs(restore, pairs, border=sf, ycbcr=True)
+              metrics = eval_on_pairs(restore, pairs, border=sf ** 2,
+                                      ycbcr=True)
               logger.info(f"test[{nt}]: PSNR={metrics['psnr']:4.2f}, "
                           f"SSIM={metrics['ssim']:5.4f}")
               writer.scalar(f"PSNR_epoch_test_{nt}", metrics["psnr"], epoch)
