@@ -28,7 +28,7 @@ from ..data.denoise_synth import synthesize_noisy_batch
 from ..losses import elbo_denoising
 from ..models import VIRNet
 from ..ops.degrade import noise_estimate
-from ..precision import compute_dtype
+from ..precision import compute_dtype, precision
 from .checkpoint import CheckpointManager
 from .mesh import make_mesh, replicate, shard_batch
 from .optim import build_optimizer, subtree_grad_norms
@@ -128,7 +128,8 @@ class DenoiseTrainer:
                     key, im_gt, mode=cfg.noise_mode)
             beta0 = alpha0 * sigma_gt
             cdt = jnp.bfloat16 if cfg.mixed_precision else None
-            with compute_dtype(cdt):
+            prec = "default" if cfg.mixed_precision else "highest"
+            with compute_dtype(cdt), precision(prec):
                 mu, sigma = model.apply({"params": params}, im_noisy)
             mu = mu.astype(jnp.float32)
             sigma = sigma.astype(jnp.float32)

@@ -24,7 +24,7 @@ import optax
 from ..data.sisr_synth import synthesize_sisr_batch
 from ..losses import elbo_sisr
 from ..models import VIRNetSR
-from ..precision import compute_dtype
+from ..precision import compute_dtype, precision
 from .checkpoint import CheckpointManager
 from .mesh import make_mesh, replicate, shard_batch
 from .optim import build_optimizer, subtree_grad_norms
@@ -134,7 +134,8 @@ class SISRTrainer:
                     cfg.downsampler, cfg.noise_level)
             sigma_prior = (batch.nlevel ** 2).reshape(-1, 1, 1, 1)
             cdt = jnp.bfloat16 if cfg.mixed_precision else None
-            with compute_dtype(cdt):
+            prec = "default" if cfg.mixed_precision else "highest"
+            with compute_dtype(cdt), precision(prec):
                 mu, kinfo_est, sigma_est = model.apply(
                     {"params": params}, batch.im_lr, cfg.sf)
             mu = mu.astype(jnp.float32)
