@@ -23,3 +23,17 @@ cli/      user-facing command line entry points
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (avoid importing jax at package import)."""
+    if name in ("VIRNet", "VIRNetSR", "build_model", "ARCH_PRESETS"):
+        from . import models
+        return getattr(models, name)
+    if name == "Restorer":
+        from .eval.engine import Restorer
+        return Restorer
+    if name in ("load_torch_checkpoint", "convert_state_dict"):
+        from . import convert
+        return getattr(convert, name)
+    raise AttributeError(name)
