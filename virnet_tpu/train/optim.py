@@ -63,8 +63,7 @@ def clip_by_subtree_norm(clip_map: Dict[str, float]) -> optax.GradientTransforma
         for name, max_norm in clip_map.items():
             if name in new_updates:
                 new_updates[name] = clip_subtree(new_updates[name], max_norm)
-        return type(updates)(new_updates) if not isinstance(updates, dict) \
-            else new_updates, state
+        return new_updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
