@@ -69,3 +69,28 @@ def test_sisr_restorer_scales():
     im = np.random.default_rng(3).random((21, 17, 3)).astype(np.float32)
     out = r.restore_image(im)
     assert out.shape == (42, 34, 3)
+
+
+def test_restorer_loads_orbax_run_dir(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from virnet_tpu.models import build_model
+    from virnet_tpu.train.checkpoint import CheckpointManager
+
+    overrides = dict(n_feat=(8, 16), dep_S=3, n_resblocks=1)
+    model = build_model("denoising-syn", **overrides)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 8, 8, 3)))["params"]
+    mngr = CheckpointManager(tmp_path)
+    mngr.save(5, dict(params=params, step=5, epoch=1))
+
+    r = Restorer("denoising-syn", ckpt_path=str(tmp_path), pad_multiple=8,
+                 **overrides)
+    out = r.restore_image(np.ones((16, 16, 3), dtype=np.float32) * 0.5)
+    assert out.shape == (16, 16, 3)
+    # same weights -> same output as direct params
+    r2 = Restorer("denoising-syn", params=params, pad_multiple=8,
+                  **overrides)
+    out2 = r2.restore_image(np.ones((16, 16, 3), dtype=np.float32) * 0.5)
+    np.testing.assert_allclose(out, out2, atol=1e-6)

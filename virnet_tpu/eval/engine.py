@@ -32,10 +32,34 @@ class Restorer:
         if params is None:
             if ckpt_path is None:
                 raise ValueError("need params or ckpt_path")
-            params = load_torch_checkpoint(ckpt_path, self.model)["params"]
+            params = self._load_params(ckpt_path)
         self.params = params
         self.pad_multiple = pad_multiple
         self._forward = self._build_forward()
+
+    def _load_params(self, ckpt_path):
+        """Load weights from a reference .pth file or from one of this
+        framework's orbax run directories (a trainer ``save_dir``, its
+        ``ckpts/`` subdir, or a specific step dir)."""
+        from pathlib import Path
+
+        p = Path(ckpt_path)
+        if p.is_dir():
+            from ..train.checkpoint import CheckpointManager
+
+            root = p
+            if (p / "ckpts").is_dir():
+                root = p                      # trainer save_dir
+            elif p.name.isdigit() and (p.parent.parent / "ckpts").is_dir():
+                root = p.parent.parent        # .../ckpts/<step>
+            elif p.name == "ckpts":
+                root = p.parent
+            state = CheckpointManager(root).restore()
+            if state is None or "params" not in state:
+                raise FileNotFoundError(
+                    f"no orbax train state under {ckpt_path}")
+            return state["params"]
+        return load_torch_checkpoint(ckpt_path, self.model)["params"]
 
     def _build_forward(self):
         model = self.model
