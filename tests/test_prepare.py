@@ -76,3 +76,21 @@ def test_sidd_download_list():
     parts = P.sidd_download_list(cameras=["GP", "S6"])
     assert parts == ["SIDD_Medium_Srgb_Parts_GP.zip",
                      "SIDD_Medium_Srgb_Parts_S6.zip"]
+
+
+def test_h5_benchmark_roundtrip(tmp_path):
+    from virnet_tpu.data.h5_bench import H5BenchmarkReader
+
+    src = tmp_path / "ims2"
+    src.mkdir()
+    _write_img(src / "b.png", (32, 40, 3), 9)
+    files = P.write_noise_benchmark_h5(src, tmp_path / "h5out")
+    with H5BenchmarkReader(files[0]) as r:
+        assert len(r) == 1
+        name, noisy, gt, sigma = r[0]
+        assert name == "b"
+        assert noisy.shape == gt.shape == (32, 40, 3)
+        assert sigma.shape == (32, 40)
+        np.testing.assert_allclose(noisy - gt,
+                                   noisy - gt)  # finite
+        assert np.isfinite(noisy).all()
