@@ -48,6 +48,11 @@ def main(argv=None):
         }
         ckpt = str(Path("model_zoo") / default_names[args.task])
 
+    if not Path(ckpt).exists():
+        raise SystemExit(
+            f"checkpoint not found: {ckpt}\n"
+            "pass --ckpt_path pointing at a reference .pth or a trainer "
+            "save_dir (orbax)")
     restorer = Restorer(args.task, ckpt_path=ckpt, sf=args.sf)
 
     out_dir = Path(args.out_path)
