@@ -37,15 +37,25 @@ def load_trainer_config(args) -> Dict:
                              if k != "config"})
 
 
+_EVAL_FWD_CACHE: Dict = {}
+
+
 def eval_restore_fn(model, params, sf: Optional[int] = None,
                     pad_multiple: int = 64):
-    """Build a padded single-image restore closure over current params."""
-    if sf is None:
-        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
-        scale = 1
-    else:
-        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, sf)[0])
-        scale = sf
+    """Build a padded single-image restore closure over current params.
+
+    The jitted forward is cached per (model, sf) so per-epoch validation
+    reuses compiled executables instead of re-tracing every epoch."""
+    cache_key = (id(model), sf)
+    if cache_key not in _EVAL_FWD_CACHE:
+        if sf is None:
+            _EVAL_FWD_CACHE[cache_key] = jax.jit(
+                lambda p, x: model.apply({"params": p}, x)[0])
+        else:
+            _EVAL_FWD_CACHE[cache_key] = jax.jit(
+                lambda p, x: model.apply({"params": p}, x, sf)[0])
+    fwd = _EVAL_FWD_CACHE[cache_key]
+    scale = 1 if sf is None else sf
 
     def restore(im_hwc: np.ndarray) -> np.ndarray:
         h, w = im_hwc.shape[:2]

@@ -84,3 +84,16 @@ class TrainWriter:
     def close(self):
         if self.writer is not None:
             self.writer.close()
+
+
+def imshow(x, title=None, cbar=False):
+    """Matplotlib debug viewer (reference utils/util_image.py:469-475)."""
+    import matplotlib.pyplot as plt
+
+    plt.imshow(np.squeeze(np.asarray(x)), interpolation="nearest",
+               cmap="gray")
+    if title:
+        plt.title(title)
+    if cbar:
+        plt.colorbar()
+    plt.show()
