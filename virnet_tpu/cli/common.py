@@ -46,7 +46,7 @@ def eval_restore_fn(model, params, sf: Optional[int] = None,
 
     The jitted forward is cached per (model, sf) so per-epoch validation
     reuses compiled executables instead of re-tracing every epoch."""
-    cache_key = (id(model), sf)
+    cache_key = (model, sf)   # flax modules are hashable frozen dataclasses
     if cache_key not in _EVAL_FWD_CACHE:
         if sf is None:
             _EVAL_FWD_CACHE[cache_key] = jax.jit(
