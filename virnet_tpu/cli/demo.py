@@ -59,7 +59,8 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     for im_path in collect_images(Path(args.in_path)):
         im = imread(im_path, chn="rgb", dtype="float32")
-        restored = restorer.restore_image(im)
+        restored = (restorer.restore_image_tta(im) if args.flip
+                    else restorer.restore_image(im))
         out = img_as_ubyte(np.clip(restored, 0.0, 1.0))
         out_file = out_dir / f"{args.prefix}{im_path.stem}.png"
         imwrite(out, out_file, chn="rgb")

@@ -83,6 +83,15 @@ class Restorer:
         """NHWC float32 batch -> restored NHWC (clamped to [0,1])."""
         return jnp.clip(self._forward(self.params, x), 0.0, 1.0)
 
+    def restore_image_tta(self, im: np.ndarray) -> np.ndarray:
+        """x8 flip/rotation self-ensemble of restore_image (sequential —
+        arbitrary image shapes; square batches should use eval/tta.py)."""
+        from ..ops.augment import dihedral_inverse_np, dihedral_np
+
+        outs = [dihedral_inverse_np(
+            self.restore_image(dihedral_np(im, m)), m) for m in range(8)]
+        return np.mean(outs, axis=0).astype(np.float32)
+
     def restore_image(self, im: np.ndarray) -> np.ndarray:
         """HWC float32 [0,1] -> restored HWC.  Gray inputs are stacked to
         3 channels (reference scripts/testing_demo.py:83).  Images above
