@@ -3,7 +3,7 @@ scripts/testing_demo.py:99-135:
 
     python -m virnet_tpu.cli.demo --task {denoising-syn,denoising-real,sisr}
         --in_path <file-or-dir> --out_path <dir> [--sf {2,3,4}]
-        [--ckpt_path <pth-or-orbax>] [--prefix restored_]
+        [--ckpt_path <pth-or-orbax>] [--prefix restored_] [--flip]
 """
 
 from __future__ import annotations
@@ -33,6 +33,8 @@ def main(argv=None):
     parser.add_argument("--ckpt_path", type=str, default=None,
                         help="reference .pth checkpoint to import")
     parser.add_argument("--prefix", type=str, default="restored_")
+    parser.add_argument("--flip", action="store_true",
+                        help="x8 flip/rotation self-ensemble")
     args = parser.parse_args(argv)
 
     from ..eval.engine import Restorer
