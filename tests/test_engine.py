@@ -94,3 +94,18 @@ def test_restorer_loads_orbax_run_dir(tmp_path):
                   **overrides)
     out2 = r2.restore_image(np.ones((16, 16, 3), dtype=np.float32) * 0.5)
     np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_restore_image_tta_shape(tiny_restorer):
+    rng = np.random.default_rng(5)
+    im = rng.random((24, 24, 3)).astype(np.float32)
+    out = tiny_restorer.restore_image_tta(im)
+    assert out.shape == (24, 24, 3)
+    assert np.all(np.isfinite(out))
+
+
+def test_restore_exact_bucket_no_pad(tiny_restorer):
+    rng = np.random.default_rng(6)
+    im = rng.random((32, 32, 3)).astype(np.float32)   # multiple of 16
+    out = tiny_restorer.restore_image(im)
+    assert out.shape == (32, 32, 3)
