@@ -70,3 +70,26 @@ def test_patches_come_from_source(tmp_path):
     for p in patches:
         assert p.tobytes() in candidates
     s.close()
+
+
+def test_pack_from_folders(tmp_path):
+    import cv2
+
+    from virnet_tpu.data.packdb import PackDBSampler, pack_from_folders
+
+    root = tmp_path / "patches"
+    (root / "noisy").mkdir(parents=True)
+    (root / "gt").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        cv2.imwrite(str(root / "noisy" / f"sidd_{i}.png"),
+                    rng.integers(0, 255, (24, 24, 3), dtype=np.uint8))
+        cv2.imwrite(str(root / "gt" / f"sidd_{i}.png"),
+                    rng.integers(0, 255, (24, 24, 3), dtype=np.uint8))
+    out = tmp_path / "pack.vpk"
+    n = pack_from_folders(root / "noisy", out)
+    assert n == 3
+    s = PackDBSampler(out, patch_size=12, seed=0)
+    a, b = s.sample(8)
+    assert a.shape == (8, 12, 12, 3) and b.shape == (8, 12, 12, 3)
+    s.close()
