@@ -49,17 +49,22 @@ class AttLayer(nn.Module):
 class AttResBlock(nn.Module):
     nf: int
     conditioned: bool
+    remat_gates: bool = False   # recompute SFT gates in backward: the gate
+                                # tensors are 4 full-width feature maps per
+                                # block and dominate the conditioned down
+                                # path's HBM traffic
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  extra: Optional[jnp.ndarray]) -> jnp.ndarray:
+        Gate = nn.remat(AttLayer) if self.remat_gates else AttLayer
         if self.conditioned:
-            mul1, add1 = AttLayer(self.nf, name="sft1")(extra)
+            mul1, add1 = Gate(self.nf, name="sft1")(extra)
         else:
             mul1, add1 = 1.0, 0.0
         f = conv(self.nf, 3, self.nf, name="conv1")(lrelu(x * mul1 + add1, 0.2))
         if self.conditioned:
-            mul2, add2 = AttLayer(self.nf, name="sft2")(extra)
+            mul2, add2 = Gate(self.nf, name="sft2")(extra)
         else:
             mul2, add2 = 1.0, 0.0
         f = conv(self.nf, 3, self.nf, name="conv2")(lrelu(f * mul2 + add2, 0.2))
