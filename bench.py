@@ -57,8 +57,10 @@ def main():
     np.asarray(f2(params, x))
 
     def timed(f):
+        # best-of-5: the dev pool is shared, so individual runs can be
+        # slowed by co-tenants; the minimum is the chip's actual speed
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             tic = time.perf_counter()
             np.asarray(f(params, x))     # host fetch = true sync
             best = min(best, time.perf_counter() - tic)
