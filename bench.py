@@ -13,9 +13,11 @@ fetch) at two scan lengths and report the MARGINAL rate
 would see.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` divides by the A100-PyTorch reference estimate; the repo
-publishes no number (BASELINE.md), so a provisional 1 MP/s denominator is
-used until the reference measurement lands.
+``vs_baseline`` divides by the documented A100-PyTorch estimate of
+15.6 MP/s (BASELINE.md "A100-PyTorch baseline estimate": 4.99 TFLOP/MP by
+the reference's own thop protocol, A100 TF32 peak 156 TFLOP/s at a
+generous 50% eager utilization).  Breadth metrics (SISR forward, train
+steps/s, SIDD megatime) live in bench_full.py, recorded in BASELINE.md.
 """
 
 import json
@@ -70,7 +72,9 @@ def main():
     mp = batch * size * size / 1e6
     mps = (n2 - n1) * mp / (t2 - t1)
 
-    baseline_mps = 1.0     # provisional (no published reference number)
+    # A100-PyTorch estimate, derivation in BASELINE.md: 156 TFLOP/s TF32
+    # peak x 50% eager utilization / 4.99 TFLOP per restored megapixel
+    baseline_mps = 15.6
     print(json.dumps({
         "metric": "restored_megapixels_per_sec_per_chip",
         "value": round(mps, 3),

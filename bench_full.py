@@ -1,0 +1,209 @@
+"""Breadth benchmark: every perf-relevant path, regression-tracked per round.
+
+Emits one JSON line per metric on stdout and writes the combined dict to
+BENCH_FULL.json.  Results are recorded in BASELINE.md each round.
+`bench.py` stays the driver's single-line primary metric; this sibling
+covers the paths the verdict flagged as invisible to round-over-round
+tracking: SISR forward, train-step throughput for both trainers, and the
+SIDD-protocol megatime (reference scripts/denoising_virnet_real_sidd.py:127-156).
+
+All timings use the marginal-scan method (see bench.py docstring): the dev
+relay adds ~1 s fixed dispatch overhead and its block_until_ready can ack
+early, so we jit a lax.scan of N chained applications at two lengths,
+fetch to host, and report (N2-N1)*work/(t2-t1) — pure on-chip rate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# A100-PyTorch estimates (derivations in BASELINE.md "A100-PyTorch
+# baseline estimate"): 156 TFLOP/s TF32 peak x 50% eager utilization
+# divided by the per-task FLOPs/work from the reference's thop protocol.
+BASELINE = {
+    "denoise_fwd_mps": 15.6,         # 4.99 TFLOP per restored MP
+    "sisr_fwd_mps": None,            # filled per-arch below if derived
+    "denoise_train_steps_per_s": None,
+    "sisr_train_steps_per_s": None,
+    "sidd_megatime_s_per_mp": 1 / 15.6 * 8,   # x8 TTA included, like Table 4
+}
+
+
+def marginal_time(make_fn, n1=4, n2=16, reps=5):
+    """Best-of-reps marginal seconds per unit between scan lengths."""
+    f1, f2 = make_fn(n1), make_fn(n2)
+    o1 = f1()
+    np.asarray(jax.tree_util.tree_leaves(o1)[0])   # compile + warm
+    o2 = f2()
+    np.asarray(jax.tree_util.tree_leaves(o2)[0])
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(reps):
+            tic = time.perf_counter()
+            out = f()
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            best = min(best, time.perf_counter() - tic)
+        return best
+
+    t1, t2 = timed(f1), timed(f2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_denoise_fwd():
+    from virnet_tpu.models import build_model
+
+    model = build_model("denoising-syn")
+    key = jax.random.PRNGKey(0)
+    batch, size = 32, 256
+    x = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def make(length):
+        @jax.jit
+        def fwd_n():
+            def body(y, _):
+                mu, _ = model.apply({"params": params},
+                                    y.astype(jnp.bfloat16))
+                return jnp.clip(mu, 0.0, 1.0).astype(jnp.float32), 0.0
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return y
+        return fwd_n
+
+    sec = marginal_time(make, 6, 30)
+    return batch * size * size / 1e6 / sec
+
+
+def bench_sisr_fwd(sf=4):
+    from virnet_tpu.models import build_model
+
+    model = build_model("sisr")
+    key = jax.random.PRNGKey(0)
+    batch, size = 16, 64                       # LR input; output 256^2
+    x = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)), sf)["params"]
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def make(length):
+        @jax.jit
+        def fwd_n():
+            def body(y, _):
+                mu, _k, _s = model.apply({"params": params},
+                                         y.astype(jnp.bfloat16), sf)
+                # chain back through an average-pool so the carry keeps the
+                # LR shape (output px still counted as restored work)
+                lr = jax.image.resize(mu, y.shape, "nearest")
+                return jnp.clip(lr, 0.0, 1.0).astype(jnp.float32), 0.0
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return y
+        return fwd_n
+
+    sec = marginal_time(make, 4, 16)
+    out_mp = batch * (size * sf) ** 2 / 1e6
+    return out_mp / sec
+
+
+def _train_steps_per_s(trainer_cls, cfg, batch_shape):
+    trainer = trainer_cls(cfg)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.random(batch_shape, dtype=np.float32))
+    params, opt_state = trainer.params, trainer.opt_state
+    step_fn = trainer._train_step
+
+    def make(length):
+        @jax.jit
+        def nsteps():
+            def body(carry, i):
+                p, o = carry
+                key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+                p, o, aux = step_fn(p, o, batch, key)
+                return (p, o), aux["loss"]
+            (_, _), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(length))
+            return losses
+        return nsteps
+
+    sec = marginal_time(make, 2, 8, reps=3)
+    return 1.0 / sec
+
+
+def bench_denoise_train():
+    from virnet_tpu.train.loop_denoise import (DenoiseTrainConfig,
+                                               DenoiseTrainer)
+
+    cfg = DenoiseTrainConfig(batch_size=16, patch_size=128,
+                             save_dir="/tmp/bench_train")
+    return _train_steps_per_s(DenoiseTrainer, cfg, (16, 128, 128, 3))
+
+
+def bench_sisr_train():
+    from virnet_tpu.train.loop_sisr import SISRTrainConfig, SISRTrainer
+
+    cfg = SISRTrainConfig(sf=4, batch_size=16, hr_size=192,
+                          save_dir="/tmp/bench_train_sisr")
+    return _train_steps_per_s(SISRTrainer, cfg, (16, 192, 192, 3))
+
+
+def bench_sidd_megatime():
+    """Table 4 protocol: 256^2 blocks, x8 flip TTA, denoising-real arch;
+    seconds of forward time per restored 1024^2 megapixel."""
+    from virnet_tpu.eval.tta import tta_x8
+    from virnet_tpu.models import build_model
+
+    model = build_model("denoising-real")
+    key = jax.random.PRNGKey(0)
+    batch, size = 8, 256
+    x = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def forward(z):
+        mu, _ = model.apply({"params": params}, z.astype(jnp.bfloat16))
+        return mu.astype(jnp.float32)
+
+    def make(length):
+        @jax.jit
+        def fwd_n():
+            def body(y, _):
+                out = tta_x8(forward, y)
+                return jnp.clip(out, 0.0, 1.0), 0.0
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return y
+        return fwd_n
+
+    sec = marginal_time(make, 2, 8)
+    return sec * 1024 ** 2 / (batch * size * size)
+
+
+def main():
+    from virnet_tpu import precision
+
+    precision.set_precision("default")       # throughput path
+    results = {}
+    for name, fn, unit, base in [
+        ("denoise_fwd_mps", bench_denoise_fwd, "MP/s",
+         BASELINE["denoise_fwd_mps"]),
+        ("sisr_fwd_mps", bench_sisr_fwd, "MP/s", None),
+        ("denoise_train_steps_per_s", bench_denoise_train, "steps/s", None),
+        ("sisr_train_steps_per_s", bench_sisr_train, "steps/s", None),
+        ("sidd_megatime_s_per_mp", bench_sidd_megatime, "s/MP",
+         BASELINE["sidd_megatime_s_per_mp"]),
+    ]:
+        value = fn()
+        rec = {"metric": name, "value": round(value, 4), "unit": unit}
+        if base:
+            ratio = (value / base if unit != "s/MP" else base / value)
+            rec["vs_baseline"] = round(ratio, 3)
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,10 +33,16 @@ def test_restore_image_arbitrary_size(tiny_restorer):
 
 
 def test_restore_gray_image(tiny_restorer):
+    # reference parity: gray inputs come back as the 3-channel restoration
+    # (scripts/testing_demo.py:83-97); gray_mean=True opts into averaging
     rng = np.random.default_rng(1)
     im = rng.random((20, 24)).astype(np.float32)
     out = tiny_restorer.restore_image(im)
+    assert out.shape == (20, 24, 3)
+    tiny_restorer.gray_mean = True
+    out = tiny_restorer.restore_image(im)
     assert out.shape == (20, 24)
+    tiny_restorer.gray_mean = False
 
 
 def test_restore_large_image_uses_chop(tiny_restorer, monkeypatch):

@@ -78,6 +78,53 @@ def test_sidd_download_list():
                      "SIDD_Medium_Srgb_Parts_S6.zip"]
 
 
+def test_sidd_download_list_matches_reference_filter(tmp_path):
+    """Execute the reference's own downloader (download_sidd_all.py:11-23)
+    on a synthetic SIDD_URLs.txt with os.system captured, and require our
+    urls_file mode to select the same (camera-dir, filename, url) triples."""
+    import os
+    from pathlib import Path
+
+    base = "http://sidd.example/data"
+    urls = [
+        f"{base}/0001_GP_SRGB/0001_GP_SRGB.zip",
+        f"{base}/0002_GP_RAW/0002_GP_RAW.zip",
+        f"{base}/0003_S6_SRGB/0003_S6_SRGB.zip",
+        f"{base}/0004_IP_SRGB/0004_IP_SRGB.zip",
+        f"{base}/0005_G4_SRGB/0005_G4_SRGB.zip",
+        f"{base}/0006_S6_RAW/0006_S6_RAW.zip",
+    ]
+    root = tmp_path / "Full"
+    root.mkdir()
+    (root / "SIDD_URLs.txt").write_text("".join(u + "\n" for u in urls))
+
+    src = Path("/root/reference/datasets/prepare_data/Denoising/SIDD/"
+               "download_sidd_all.py").read_text()
+    src = src.replace("G:/Dataset/SIDD/Full/", str(root) + "/")
+    captured = []
+    real_system = os.system
+    os.system = lambda cmd: captured.append(cmd) or 0
+    try:
+        exec(compile(src, "download_sidd_all.py", "exec"),
+             {"__name__": "__ref_dl__"})
+    finally:
+        os.system = real_system
+
+    # reference cmd format: axel -n 32 -a -o <camera_dir><file> <url>
+    ref_triples = set()
+    for cmd in captured:
+        out, url = cmd.split(" -o ")[1].split(" ")
+        cam = Path(out).parent.name
+        ref_triples.add((cam, Path(out).name, url))
+
+    ours = P.sidd_download_list(cameras=["S6", "GP", "G4"],
+                                urls_file=str(root / "SIDD_URLs.txt"))
+    our_triples = {(line.split("/")[0], line.split("/")[1].split(" ")[0],
+                    line.split(" ")[1]) for line in ours}
+    assert our_triples == ref_triples
+    assert len(ref_triples) == 3     # SRGB-only, three cameras
+
+
 def test_h5_benchmark_roundtrip(tmp_path):
     from virnet_tpu.data.h5_bench import H5BenchmarkReader
 

@@ -3,8 +3,9 @@
     python -m virnet_tpu.cli.eval_sisr --sf 4 --nlevel 2.55 \
         --ckpt_path model_zoo/virnet_sisr_x4.pth --save_dir ./results
 
-LPIPS requires pretrained AlexNet weights; in this zero-egress image it is
-gated — pass --lpips only when the 'lpips' package and weights exist.
+LPIPS is TPU-native (eval/lpips.py) but needs the pretrained weights file:
+set VIRNET_LPIPS_WEIGHTS (or drop model_zoo/lpips_alex.pth) and it is
+scored automatically; --lpips {auto,on,off} overrides.
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ def main(argv=None):
     p.add_argument("--data_root", type=str,
                    default="/root/reference/test_data")
     p.add_argument("--downsampler", type=str, default="bicubic")
+    p.add_argument("--lpips", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     args = p.parse_args(argv)
 
     ckpt = args.ckpt_path or str(Path("model_zoo")
@@ -57,9 +60,11 @@ def main(argv=None):
         "Set14": str(Path(args.data_root) / "Set14" / "*.bmp"),
         "CBSD68": str(Path(args.data_root) / "CBSD68" / "*.png"),
     }
+    use_lpips = {"auto": None, "on": True, "off": False}[args.lpips]
     results = eval_sisr_synthetic(restorer, data_dirs, args.sf,
                                   nlevel=args.nlevel,
                                   downsampler=args.downsampler,
+                                  use_lpips=use_lpips,
                                   log_fn=logger.info)
 
     if args.save_dir:

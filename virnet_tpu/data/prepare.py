@@ -151,14 +151,30 @@ SIDD_BASE_URL = ("https://competitions.codalab.org/my/datasets/download/")
 
 
 def sidd_download_list(cameras: Optional[Sequence[str]] = None,
-                       srgb_only: bool = True) -> List[str]:
-    """The reference shells out to axel per-URL
-    (.../SIDD/download_sidd_all.py:11-23); this environment has no network
-    egress, so we emit the filtered filename list for the operator to fetch
-    from the official SIDD_Medium_Srgb distribution instead."""
+                       srgb_only: bool = True,
+                       urls_file: Optional[str] = None) -> List[str]:
+    """Download work-list for SIDD.
+
+    With ``urls_file`` (the official ``SIDD_URLs.txt`` the reference's
+    downloader consumes), applies the reference's exact filter —
+    ``camera in url and 'SRGB' in url`` with the filename taken from the
+    URL's last path component (.../SIDD/download_sidd_all.py:11-23) — and
+    returns ``"<camera>/<filename> <url>"`` lines ready for any fetcher
+    (the reference shells out to axel per line; this environment has no
+    egress, so we emit the list instead of fetching).
+
+    Without ``urls_file``, falls back to the SIDD_Medium per-camera part
+    archive names of the official distribution."""
     cameras = cameras or ["GP", "IP", "S6", "N6", "G4"]
-    parts = []
-    for cam in cameras:
-        parts.append(f"SIDD_Medium_Srgb_Parts_{cam}.zip"
-                     if srgb_only else f"SIDD_Medium_Raw_Parts_{cam}.zip")
-    return parts
+    if urls_file is not None:
+        lines: List[str] = []
+        with open(urls_file) as f:
+            urls = [u.rstrip("\n") for u in f]
+        kind = "SRGB" if srgb_only else "RAW"
+        for camera in cameras:
+            for url in urls:
+                if camera in url and kind in url:
+                    lines.append(f"{camera}/{url.split('/')[-1]} {url}")
+        return lines
+    return [(f"SIDD_Medium_Srgb_Parts_{cam}.zip" if srgb_only
+             else f"SIDD_Medium_Raw_Parts_{cam}.zip") for cam in cameras]

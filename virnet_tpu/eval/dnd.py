@@ -57,7 +57,9 @@ def denoise_srgb(denoiser: Callable, data_folder, out_folder,
             idx = [int(boxes[k, 0] - 1), int(boxes[k, 2]),
                    int(boxes[k, 1] - 1), int(boxes[k, 3])]
             crop = inoisy[idx[0]:idx[1], idx[2]:idx[3], :].copy()
-            denoised = np.float32(denoiser(crop, None))
+            # the official loop hands the denoiser the per-image NLF params
+            # (dnd_denoise.py:112-117); VIRNet's wrapper ignores them
+            denoised = np.float32(denoiser(crop, load_nlf(info, i)))
             sio.savemat(str(out_folder / f"{i + 1:04d}_{k + 1:02d}.mat"),
                         {"Idenoised_crop": denoised})
         log_fn(f"[{i + 1}/50] {filename.name} done")

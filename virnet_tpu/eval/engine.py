@@ -25,7 +25,12 @@ class Restorer:
     """Denoising / SISR inference on HWC numpy images."""
 
     def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
-                 pad_multiple: int = 64, **model_overrides):
+                 pad_multiple: int = 64, gray_mean: bool = False,
+                 **model_overrides):
+        # gray_mean=False saves the 3-channel restoration for gray inputs,
+        # matching the reference (scripts/testing_demo.py:83-97); True
+        # averages back to single-channel.
+        self.gray_mean = gray_mean
         self.task = task
         self.sf = sf if task == "sisr" else 1
         self.model = build_model(task, **model_overrides)
@@ -128,6 +133,6 @@ class Restorer:
                             mode="reflect")
             out = self.restore_batch(x)
             out = np.asarray(out[0, :h * self.sf, :w * self.sf, :])
-        if squeeze_gray:
+        if squeeze_gray and self.gray_mean:
             out = out.mean(axis=2)
         return out

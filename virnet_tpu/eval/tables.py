@@ -143,11 +143,16 @@ def eval_sidd(restorer: Restorer, noisy_mat: str, gt_mat: str,
 def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
                         sf: int, nlevel: float = 2.55,
                         qf: Optional[int] = None, seed: int = 1234,
-                        downsampler: str = "bicubic",
+                        downsampler: str = "bicubic", use_lpips=None,
                         log_fn=print) -> Dict[str, Dict]:
     """Table 5 reproduction (reference scripts/sisr_virnet_syn.py:98-193):
     7 fixed kernels, bicubic degradation with seeded noise, Y-channel
-    PSNR/SSIM with border=sf^2."""
+    PSNR/SSIM with border=sf^2, and LPIPS-alex on RGB when weights are
+    available (reference :158-161; use_lpips=None -> auto-detect)."""
+    from . import lpips as lpips_mod
+
+    if use_lpips is None:
+        use_lpips = lpips_mod.available()
     results: Dict[str, Dict] = {}
     kernels = table5_kernels(sf)
     for data_name, d in data_dirs.items():
@@ -157,7 +162,7 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
         im_list = sorted(str(x) for x in root.glob(pattern))
         per_kernel = []
         for ind_k, (kernel, _kinfo) in enumerate(kernels):
-            psnrs, ssims = {}, {}
+            psnrs, ssims, lpipss = {}, {}, {}
             for im_path in im_list:
                 name = Path(im_path).stem
                 im_gt = imread(im_path, chn="rgb", dtype="uint8")
@@ -171,16 +176,28 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
                 im_sr = img_as_ubyte(np.clip(out, 0.0, 1.0))
                 psnrs[name] = calculate_psnr(im_sr, im_gt, sf ** 2, True)
                 ssims[name] = calculate_ssim(im_sr, im_gt, sf ** 2, True)
+                if use_lpips:
+                    lpipss[name] = lpips_mod.lpips_rgb(im_sr, im_gt)
             mp, ms = (float(np.mean(list(psnrs.values()))),
                       float(np.mean(list(ssims.values()))))
-            per_kernel.append(dict(psnr=mp, ssim=ms))
-            log_fn(f"Dataset: {data_name:>8s}, Kernel: {ind_k + 1}, "
+            rec = dict(psnr=mp, ssim=ms)
+            msg = (f"Dataset: {data_name:>8s}, Kernel: {ind_k + 1}, "
                    f"PSNRY: {mp:5.2f}, SSIMY: {ms:6.4f}")
+            if use_lpips:
+                rec["lpips"] = float(np.mean(list(lpipss.values())))
+                msg += f", LPIPS: {rec['lpips']:6.4f}"
+            per_kernel.append(rec)
+            log_fn(msg)
         results[data_name] = dict(
             per_kernel=per_kernel,
             psnr=float(np.mean([k["psnr"] for k in per_kernel])),
             ssim=float(np.mean([k["ssim"] for k in per_kernel])))
-        log_fn(f"Dataset: {data_name:>8s}, "
+        msg = (f"Dataset: {data_name:>8s}, "
                f"PSNRY: {results[data_name]['psnr']:5.2f}, "
                f"SSIMY: {results[data_name]['ssim']:6.4f}")
+        if use_lpips:
+            results[data_name]["lpips"] = float(
+                np.mean([k["lpips"] for k in per_kernel]))
+            msg += f", LPIPS: {results[data_name]['lpips']:6.4f}"
+        log_fn(msg)
     return results
