@@ -27,7 +27,8 @@ from flax import linen as nn
 from ..ops.pad import pad_to_multiple
 from ..ops.upsample import conv_transpose_2x2, nearest_resize
 from ..precision import get_compute_dtype
-from .common import conv, lrelu, make_torch_bias_init, torch_kernel_init
+from .common import (PadOutConv, conv, lrelu, make_torch_bias_init,
+                     torch_kernel_init)
 
 
 class AttLayer(nn.Module):
@@ -103,6 +104,9 @@ class AttResUNet(nn.Module):
     extra_mode: str = "input"   # null | input | down | both
     remat: bool = False         # rematerialize blocks (saves HBM traffic for
                                 # the SFT gate tensors in the backward pass)
+    pad_narrow: int = 0         # compute the 3-channel tail conv at this
+                                # output width (bit-exact slice; see
+                                # common.PadOutConv); 0 disables
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray,
@@ -144,5 +148,9 @@ class AttResUNet(nn.Module):
             x = UpBlock(self.n_feat[jj], self.n_resblocks, remat=self.remat,
                         name=f"up_{jj}")(x, bridges[jj])
 
-        out = conv(self.out_chn, 3, self.n_feat[0], name="tail")(x)
+        if self.pad_narrow > self.out_chn:
+            out = PadOutConv(self.out_chn, 3, self.n_feat[0],
+                             pad_to=self.pad_narrow, name="tail")(x)
+        else:
+            out = conv(self.out_chn, 3, self.n_feat[0], name="tail")(x)
         return out[..., :h, :w, :] + x_in

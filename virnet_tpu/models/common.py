@@ -73,3 +73,48 @@ def conv(features: int, kernel: int, in_features: int, *, stride: int = 1,
 
 def lrelu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+class PadOutConv(nn.Module):
+    """3x3 conv whose few-output-channel head is computed at a wider,
+    MXU-friendly output width and sliced back — bit-exact (the pad channels
+    carry zero weights/bias and are discarded).
+
+    Motivation (measured on v5e): XLA lowers a conv with C_out in {1,3} via
+    a batch-in-lanes emitter that runs ~100x off ideal (the RNet tail took
+    6.3 ms of a 94 ms forward; SNet's conv_last 1.6 ms).  Computing the same
+    conv at pad_to output channels picks the normal emitter.
+
+    Parameter tree is identical to ``conv(features, ...)`` — names 'kernel'
+    (HWIO, true features) and 'bias' — so checkpoints are unaffected.
+    """
+    features: int
+    kernel: int
+    in_features: int
+    pad_to: int = 8
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kshape = (self.kernel, self.kernel, self.in_features, self.features)
+        fan_in = self.kernel * self.kernel * self.in_features
+        k = self.param("kernel", self.kernel_init or torch_kernel_init,
+                       kshape)
+        b = self.param("bias",
+                       self.bias_init or make_torch_bias_init(fan_in),
+                       (self.features,))
+        cdt = get_compute_dtype()
+        if cdt is not None:
+            k = k.astype(cdt)
+            b = b.astype(cdt)
+        pad = max(self.pad_to, self.features) - self.features
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        bp = jnp.pad(b, (0, pad))
+        p = self.kernel // 2
+        y = jax.lax.conv_general_dilated(
+            x, kp, (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=get_precision(),
+            preferred_element_type=x.dtype)
+        return y[..., :self.features] + b

@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import conv, leaky_relu_gain, lrelu, orthogonal_gain_init
+from .common import (PadOutConv, conv, leaky_relu_gain, lrelu,
+                     orthogonal_gain_init)
 
 
 class DnCNN(nn.Module):
@@ -19,6 +20,8 @@ class DnCNN(nn.Module):
     num_filters: int = 64
     noise_avg: bool = False
     slope: float = 0.25
+    pad_narrow: int = 0   # compute the 1/3-channel conv_last at this output
+                          # width (bit-exact slice; common.PadOutConv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -33,8 +36,13 @@ class DnCNN(nn.Module):
             x = conv(self.num_filters, 3, self.num_filters,
                      name=f"mid_{ii}", kernel_init=init, bias_init=zeros)(x)
             x = lrelu(x, self.slope)
-        x = conv(self.out_channels, 3, self.num_filters, name="conv_last",
-                 kernel_init=init, bias_init=zeros)(x)
+        if self.pad_narrow > self.out_channels:
+            x = PadOutConv(self.out_channels, 3, self.num_filters,
+                           pad_to=self.pad_narrow, kernel_init=init,
+                           bias_init=zeros, name="conv_last")(x)
+        else:
+            x = conv(self.out_channels, 3, self.num_filters,
+                     name="conv_last", kernel_init=init, bias_init=zeros)(x)
         if self.noise_avg:
             x = jnp.mean(x, axis=(-3, -2), keepdims=True)
         return x

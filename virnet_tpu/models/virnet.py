@@ -37,15 +37,19 @@ class VIRNet(nn.Module):
     extra_mode: str = "input"
     noise_avg: bool = False
     remat: bool = False
+    pad_narrow: int = 0   # MXU-friendly width for narrow output convs
+                          # (bit-exact; see models/common.PadOutConv)
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
-                          noise_avg=self.noise_avg, name="snet")
+                          noise_avg=self.noise_avg,
+                          pad_narrow=self.pad_narrow, name="snet")
         self.RNet = AttResUNet(out_chn=self.im_chn, n_feat=self.n_feat,
                                n_resblocks=self.n_resblocks,
                                extra_mode=self.extra_mode if self.noise_cond
                                else "null",
                                remat=self.remat,
+                               pad_narrow=self.pad_narrow,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -70,10 +74,13 @@ class VIRNetSR(nn.Module):
     extra_mode: str = "down"
     noise_avg: bool = True
     remat: bool = False
+    pad_narrow: int = 0   # MXU-friendly width for narrow output convs
+                          # (bit-exact; see models/common.PadOutConv)
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
-                          noise_avg=self.noise_avg, name="snet")
+                          noise_avg=self.noise_avg,
+                          pad_narrow=self.pad_narrow, name="snet")
         self.KNet = KernelNet(out_chn=self.kernel_chn, num_blocks=self.dep_K,
                               name="knet")
         cond = self.noise_cond or self.kernel_cond
@@ -81,6 +88,7 @@ class VIRNetSR(nn.Module):
                                n_resblocks=self.n_resblocks,
                                extra_mode=self.extra_mode if cond else "null",
                                remat=self.remat,
+                               pad_narrow=self.pad_narrow,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray, sf: int):
