@@ -82,3 +82,24 @@ def test_jit_forward_is_stable():
     jit_mu, _ = jax.jit(net.apply)(params, x)
     np.testing.assert_allclose(np.asarray(eager_mu), np.asarray(jit_mu),
                                atol=1e-5)
+
+
+def test_sisr_compact_conditioning_matches_broadcast():
+    """VIRNetSR passes (N,1,1,C) conditioning when all maps are per-sample
+    constants; gates computed compactly must equal gates computed on the
+    explicitly broadcast maps (they are 1x1 convs on constant inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from virnet_tpu.models.attresunet import AttResUNet
+
+    key = jax.random.PRNGKey(7)
+    rnet = AttResUNet(out_chn=3, n_feat=(16, 24), n_resblocks=2,
+                      extra_mode="both")
+    x = jax.random.uniform(key, (2, 24, 24, 3), jnp.float32)
+    e_c = jax.random.uniform(key, (2, 1, 1, 4), jnp.float32)
+    e_f = jnp.broadcast_to(e_c, (2, 24, 24, 4))
+    params = rnet.init(key, x, e_c)["params"]
+    y_c = rnet.apply({"params": params}, x, e_c)
+    y_f = rnet.apply({"params": params}, x, e_f)
+    assert jnp.allclose(y_c, y_f, atol=2e-6, rtol=0)

@@ -118,8 +118,25 @@ class AttResUNet(nn.Module):
         h, w = x_in.shape[-3], x_in.shape[-2]
         mod = 2 ** (depth - 1)
 
+        # A spatially 1x1 extra means per-sample-constant conditioning (the
+        # SISR arch: broadcast kernel info + per-image sigma).  The SFT
+        # AttLayers are 1x1 convs, so gates computed on the compact (N,1,1,C)
+        # map and broadcast are bit-identical to gates computed on the
+        # broadcast map — and skip H*W-times redundant compute in both
+        # passes (the gate-conv backwards alone were ~10% of the SISR train
+        # step).  Only the head concat needs the full-resolution map (its
+        # 3x3 conv sees zero-pad borders).
+        compact = (extra_in is not None
+                   and extra_in.shape[-3] == 1 and extra_in.shape[-2] == 1)
+
         x = pad_to_multiple(x_in, mod)
-        extra = pad_to_multiple(extra_in, mod) if mode != "null" else None
+        if mode == "null":
+            extra = None
+        elif compact:
+            extra = jnp.broadcast_to(
+                extra_in, x.shape[:-1] + (extra_in.shape[-1],))
+        else:
+            extra = pad_to_multiple(extra_in, mod)
 
         if mode in ("input", "both"):
             head_in = jnp.concatenate([x, extra], axis=-1)
@@ -129,7 +146,7 @@ class AttResUNet(nn.Module):
 
         cond_down = mode in ("down", "both")
         bridges = []
-        extra_cur = extra
+        extra_cur = extra_in if compact else extra
         for ii in range(depth):
             nf = self.n_feat[ii]
             for jj in range(self.n_resblocks):
@@ -140,7 +157,7 @@ class AttResUNet(nn.Module):
                 bridges.append(x)
                 x = conv(self.n_feat[ii + 1], 3, nf, stride=2,
                          name=f"down_{ii}_sampler")(x)
-                if cond_down:
+                if cond_down and not compact:
                     extra_cur = nearest_resize(extra, x.shape[-3],
                                                x.shape[-2])
 

@@ -102,16 +102,21 @@ class VIRNetSR(nn.Module):
         x_up = nearest_upsample(x, sf)
         h_up, w_up = x_up.shape[-3], x_up.shape[-2]
 
+        # When every conditioning map is constant per sample (kinfo always
+        # is; sigma is when noise_avg), pass the compact (N, 1, 1, C) form —
+        # AttResUNet broadcasts it for the head concat and feeds the SFT
+        # gates at 1x1 (bit-identical, H*W-times less gate compute).
+        compact = not self.noise_cond or self.noise_avg
         extras = []
         if self.kernel_cond:
-            kmap = jnp.broadcast_to(kinfo[:, None, None, :],
-                                    (x.shape[0], h_up, w_up, 3))
+            kmap = kinfo[:, None, None, :]
+            if not compact:
+                kmap = jnp.broadcast_to(kmap, (x.shape[0], h_up, w_up, 3))
             extras.append(kmap.astype(x.dtype))
         if self.noise_cond:
             s = jnp.sqrt(sigma)
             if self.noise_avg:
-                smap = jnp.broadcast_to(
-                    s, (x.shape[0], h_up, w_up, self.sigma_chn))
+                smap = s            # (N, 1, 1, sigma_chn)
             else:
                 smap = nearest_upsample(s, sf)
             extras.append(smap)
