@@ -49,3 +49,28 @@ def test_gradients_match_matmul_path():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk_pl), np.asarray(dk_ref),
                                atol=1e-4)
+
+
+def test_mxu_and_vpu_valid_kernels_match():
+    """Both VALID-correlation kernels (MXU banded-matmul and VPU stencil)
+    must agree with a direct einsum in interpret mode."""
+    rng = np.random.default_rng(3)
+    n, c, hp, wp, k = 2, 3, 14, 15, 5
+    xp = jnp.asarray(rng.random((n, c, hp, wp)).astype(np.float32))
+    kern = jnp.asarray(rng.random((n, k, k)).astype(np.float32))
+    h, w = hp - k + 1, wp - k + 1
+    want = np.zeros((n, c, h, w), np.float32)
+    for di in range(k):
+        for dj in range(k):
+            want += (np.asarray(kern)[:, None, di, dj, None, None]
+                     * np.asarray(xp)[:, :, di:di + h, dj:dj + w])
+    got_mxu = pallas_blur._blur_mxu_valid(xp, kern, interpret=True)
+    got_vpu = pallas_blur._blur_pallas_valid(xp, kern, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_mxu), want, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_vpu), want, atol=2e-5)
+
+
+def test_valid_blur_dispatch():
+    """MXU path when the band matrix fits VMEM, VPU stencil otherwise."""
+    assert pallas_blur._use_mxu(21, 212, 192)        # training shapes
+    assert not pallas_blur._use_mxu(21, 532, 512)    # eval whole images

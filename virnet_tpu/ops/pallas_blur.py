@@ -66,6 +66,147 @@ def _max_cols(k: int) -> int:
     return 768
 
 
+# ---------------------------------------------------------------------------
+# MXU path: per-sample blur as k banded matmuls
+# ---------------------------------------------------------------------------
+# y[c, y, :] = sum_dy  xp[c, y+dy, :] @ B_dy   with the (Wp, W) banded
+# matrix B_dy[i, j] = kern[dy, i-j] (0 <= i-j < k).  B is built per sample
+# on the VPU from a static band mask, then the stencil becomes k f32
+# matmuls per channel — the 21x21 blur of a 16x3x192² batch is ~16 GFLOP,
+# noise for the MXU, where the shift+FMA VPU form costs ~2 ms.  Used when
+# the banded matrix fits VMEM comfortably; eval-sized planes fall back to
+# the VPU kernel above.
+_MXU_BAND_LIMIT_BYTES = 6 * 1024 * 1024
+
+
+def _band_mask(k: int, wp: int, w: int) -> np.ndarray:
+    diff = np.arange(wp)[:, None] - np.arange(w)[None, :]
+    return np.stack([(diff == dj) for dj in range(k)]).astype(np.float32)
+
+
+def _mxu_kernel(k: int, h: int, w: int, c: int):
+    def kern(w_ref, x_ref, m_ref, o_ref, b_ref):
+        kern2d = w_ref[0]                                   # (k, k)
+        for dy in range(k):
+            b = kern2d[dy, 0] * m_ref[0]
+            for dj in range(1, k):
+                b = b + kern2d[dy, dj] * m_ref[dj]
+            b_ref[dy] = b                                   # (Wp, W)
+        for cc in range(c):
+            acc = jnp.zeros((h, w), jnp.float32)
+            for dy in range(k):
+                acc = acc + jnp.dot(x_ref[0, cc, dy:dy + h, :], b_ref[dy],
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+            o_ref[0, cc] = acc
+    return kern
+
+
+def _blur_mxu_valid(xp: jnp.ndarray, kernels: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """VALID correlation via banded matmuls: xp (N, C, Hp, Wp) fp32,
+    kernels (N, k, k) fp32 -> (N, C, H, W)."""
+    n, c, hp, wp = xp.shape
+    k = kernels.shape[-1]
+    h, w = hp - k + 1, wp - k + 1
+    mask = jnp.asarray(_band_mask(k, wp, w))                # (k, Wp, W)
+    return pl.pallas_call(
+        _mxu_kernel(k, h, w, c),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, wp, w), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, wp, w), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * h * wp * w * k,
+            bytes_accessed=4 * n * c * (hp * wp + h * w) + 4 * k * wp * w,
+            transcendentals=0),
+        interpret=interpret,
+    )(kernels.astype(jnp.float32), xp.astype(jnp.float32), mask)
+
+
+def _use_mxu(k: int, wp: int, w: int) -> bool:
+    return 4 * k * wp * w <= _MXU_BAND_LIMIT_BYTES
+
+
+def _mxu_dw_kernel(k: int, h: int, w: int, c: int):
+    def kern(x_ref, g_ref, m_ref, o_ref):
+        # dW[dy, dj] = sum_{c,y,x} g[c,y,x] * xp[c, y+dy, x+dj]
+        #            = sum_{x,i} M[dj, x, i] * P_dy[x, i]
+        # with P_dy = sum_c g[c]^T @ xp[c, dy:dy+h, :]  ((W, Wp) via MXU)
+        # and the transposed band mask M[dj, x, i] = (i - x == dj).
+        gts = [jnp.transpose(g_ref[0, cc]) for cc in range(c)]  # (W, H) each
+        for dy in range(k):
+            p = None
+            for cc in range(c):
+                t = jnp.dot(gts[cc], x_ref[0, cc, dy:dy + h, :],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                p = t if p is None else p + t                  # (W, Wp)
+            sums = [jnp.sum(m_ref[dj] * p) for dj in range(k)]
+            o_ref[0, dy, :] = jnp.stack(sums)
+    return kern
+
+
+def _blur_mxu_dw(xp: jnp.ndarray, g: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """dL/dW via per-row matmuls + banded-trace extraction:
+    xp (N, C, Hp, Wp), g (N, C, H, W) -> (N, k, k)."""
+    n, c, hp, wp = xp.shape
+    h, w = g.shape[-2:]
+    k = hp - h + 1
+    mask = jnp.asarray(np.transpose(_band_mask(k, wp, w), (0, 2, 1)))
+    return pl.pallas_call(
+        _mxu_dw_kernel(k, h, w, c),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, w, wp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k, k), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * k * h * w * wp,
+            bytes_accessed=4 * n * c * (hp * wp + h * w) + 4 * k * wp * w,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp.astype(jnp.float32), g.astype(jnp.float32), mask)
+
+
+def _dw_blur(xp: jnp.ndarray, g: jnp.ndarray,
+             interpret: bool = False) -> jnp.ndarray:
+    k = xp.shape[-2] - g.shape[-2] + 1
+    wp, w = xp.shape[-1], g.shape[-1]
+    if _use_mxu(k, wp, w):
+        return _blur_mxu_dw(xp, g, interpret=interpret)
+    return _blur_pallas_dw(xp, g, interpret=interpret)
+
+
+def _valid_blur(xp: jnp.ndarray, kernels: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """Dispatch VALID correlation to the MXU banded-matmul kernel when the
+    band matrix fits VMEM, else the VPU stencil kernel."""
+    k = kernels.shape[-1]
+    wp = xp.shape[-1]
+    w = wp - k + 1
+    if _use_mxu(k, wp, w):
+        return _blur_mxu_valid(xp, kernels, interpret=interpret)
+    return _blur_pallas_valid(xp, kernels, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _blur_pallas_valid(xp: jnp.ndarray, kernels: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
@@ -204,7 +345,7 @@ def _fwd(x, kernels, pad_mode, interpret):
     k = kernels.shape[-1]
     xp = _pad(x, k // 2, pad_mode)                      # N,Hp,Wp,C
     xp_nchw = jnp.transpose(xp, (0, 3, 1, 2))
-    y = _blur_pallas_valid(xp_nchw, kernels, interpret=interpret)
+    y = _valid_blur(xp_nchw, kernels, interpret=interpret)
     out = jnp.transpose(y, (0, 2, 3, 1)).astype(x.dtype)
     return out, (x, kernels)
 
@@ -226,14 +367,14 @@ def _bwd(pad_mode, interpret, res, g):
     gk = jnp.flip(kernels, axis=(-2, -1))
     g_full = jnp.pad(g_nchw, ((0, 0), (0, 0), (k - 1, k - 1),
                               (k - 1, k - 1)))
-    dxp = _blur_pallas_valid(g_full, gk, interpret=interpret)   # N,C,Hp,Wp
+    dxp = _valid_blur(g_full, gk, interpret=interpret)          # N,C,Hp,Wp
     dxp_nhwc = jnp.transpose(dxp, (0, 2, 3, 1)).astype(x.dtype)
     dx = pad_vjp(dxp_nhwc)[0]
 
     # dW: contract shifted input windows with g
     xp_nchw = jnp.transpose(_pad(x, pad, pad_mode).astype(jnp.float32),
                             (0, 3, 1, 2))
-    dw = _blur_pallas_dw(xp_nchw, g_nchw, interpret=interpret)
+    dw = _dw_blur(xp_nchw, g_nchw, interpret=interpret)
     return dx, dw.astype(kernels.dtype)
 
 
