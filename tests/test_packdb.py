@@ -93,3 +93,39 @@ def test_pack_from_folders(tmp_path):
     a, b = s.sample(8)
     assert a.shape == (8, 12, 12, 3) and b.shape == (8, 12, 12, 3)
     s.close()
+
+
+def test_uint8_batch_matches_float_batch_loss():
+    """Trainers normalize uint8 batches in-graph; the loss must equal the
+    host-normalized float path bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from virnet_tpu.train.loop_denoise import (DenoiseTrainConfig,
+                                               DenoiseTrainer)
+
+    cfg = DenoiseTrainConfig(batch_size=8, patch_size=32, dep_S=2,
+                             n_feat=(8, 12), n_resblocks=1,
+                             mixed_precision=False,
+                             save_dir="/tmp/vt_u8_test")
+    tr = DenoiseTrainer(cfg, real=True)
+    rng = np.random.default_rng(0)
+    noisy_u8 = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    gt_u8 = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(0)
+
+    p0, o0 = tr.params, tr.opt_state
+    p_u8, _, aux_u8 = tr._train_step(
+        jax.tree_util.tree_map(jnp.copy, p0),
+        jax.tree_util.tree_map(jnp.copy, o0), (noisy_u8, gt_u8), key)
+    p_f, _, aux_f = tr._train_step(
+        jax.tree_util.tree_map(jnp.copy, p0),
+        jax.tree_util.tree_map(jnp.copy, o0),
+        (noisy_u8.astype(np.float32) / 255.0,
+         gt_u8.astype(np.float32) / 255.0), key)
+    assert np.allclose(float(aux_u8["loss"]), float(aux_f["loss"]),
+                       rtol=1e-6)
+    flat_u8 = jax.tree_util.tree_leaves(p_u8)
+    flat_f = jax.tree_util.tree_leaves(p_f)
+    for a, b in zip(flat_u8, flat_f):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -104,7 +104,11 @@ class PackDBSampler:
         self.seed = seed
         self._counter = 0
 
-    def sample(self, batch_size: int):
+    def sample(self, batch_size: int, raw: bool = False):
+        """One augmented batch.  ``raw=True`` returns uint8 — the trainers
+        normalize in-graph, so the host->device transfer is 4x smaller
+        (the win on a 1-core host feeding a remote chip is ~an order of
+        magnitude of input wait; on a TPU VM it's PCIe traffic)."""
         p = self.patch_size
         c = self.rec_shape[2]
         out_a = np.empty((batch_size, p, p, c), dtype=np.uint8)
@@ -119,6 +123,8 @@ class PackDBSampler:
             self.num_threads)
         if ret != 0:
             raise RuntimeError(f"packdb_sample failed: {ret}")
+        if raw:
+            return (out_a, out_b) if self.paired else out_a
         a = out_a.astype(np.float32) / 255.0
         if self.paired:
             return a, out_b.astype(np.float32) / 255.0

@@ -114,7 +114,15 @@ class DenoiseTrainer:
         alpha0 = self.alpha0
         real = self.real
 
+        def _norm(t):
+            # uint8 batches normalize in-graph: the host ships 4x less data
+            # (see data/packdb.PackDBSampler.sample raw=True)
+            if t.dtype == jnp.uint8:
+                return t.astype(jnp.float32) / 255.0
+            return t
+
         def loss_fn(params, batch, key):
+            batch = jax.tree_util.tree_map(_norm, batch)
             if real:
                 im_noisy, im_gt = batch
                 if cfg.use_mixup:

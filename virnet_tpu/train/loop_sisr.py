@@ -121,7 +121,15 @@ class SISRTrainer:
 
         host_batches = self.host_batches
 
+        def _norm(t):
+            # uint8 batches normalize in-graph (4x smaller host->device
+            # transfer; see data/packdb.PackDBSampler.sample raw=True)
+            if t.dtype == jnp.uint8:
+                return t.astype(jnp.float32) / 255.0
+            return t
+
         def loss_fn(params, data, key):
+            data = jax.tree_util.tree_map(_norm, data)
             k_synth, k_elbo = jax.random.split(key)
             if host_batches:
                 from ..data.sisr_synth import SISRBatch
