@@ -80,17 +80,22 @@ _MXU_BAND_LIMIT_BYTES = 6 * 1024 * 1024
 
 
 def _band_mask(k: int, wp: int, w: int) -> np.ndarray:
+    """(k, Wp, W) 0/1 band mask, int8 — the f32 cast happens in-kernel.
+    int8 keeps the (double-buffered) VMEM footprint small enough that the
+    kernel still fits when embedded in a fully-fused train step (f32 masks
+    overflowed the 16 MB scoped vmem by 0.2 MB inside lax.scan-wrapped
+    steps)."""
     diff = np.arange(wp)[:, None] - np.arange(w)[None, :]
-    return np.stack([(diff == dj) for dj in range(k)]).astype(np.float32)
+    return np.stack([(diff == dj) for dj in range(k)]).astype(np.int8)
 
 
 def _mxu_kernel(k: int, h: int, w: int, c: int):
     def kern(w_ref, x_ref, m_ref, o_ref, b_ref):
         kern2d = w_ref[0]                                   # (k, k)
         for dy in range(k):
-            b = kern2d[dy, 0] * m_ref[0]
+            b = kern2d[dy, 0] * m_ref[0].astype(jnp.float32)
             for dj in range(1, k):
-                b = b + kern2d[dy, dj] * m_ref[dj]
+                b = b + kern2d[dy, dj] * m_ref[dj].astype(jnp.float32)
             b_ref[dy] = b                                   # (Wp, W)
         for cc in range(c):
             acc = jnp.zeros((h, w), jnp.float32)
@@ -151,7 +156,8 @@ def _mxu_dw_kernel(k: int, h: int, w: int, c: int):
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
                 p = t if p is None else p + t                  # (W, Wp)
-            sums = [jnp.sum(m_ref[dj] * p) for dj in range(k)]
+            sums = [jnp.sum(m_ref[dj].astype(jnp.float32) * p)
+                    for dj in range(k)]
             o_ref[0, dy, :] = jnp.stack(sums)
     return kern
 
