@@ -75,8 +75,9 @@ def main(argv=None):
           sampler.reset_seed(epoch)
 
           def batches():
+              # uint8 to the device; the trainer normalizes in-graph
               for _ in range(steps):
-                  yield sampler.sample(cfg["batch_size"])
+                  yield sampler.sample(cfg["batch_size"], raw=True)
 
           stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
           writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)

@@ -107,9 +107,11 @@ def main(argv=None):
       for epoch in range(epoch_start, cfg["epochs"]):
           sampler.reset_seed(epoch * 1000)
 
+          raw = not trainer.host_batches   # HostSISRSampler degrades in float
           def batches():
               for _ in range(steps):
-                  yield sampler.sample(cfg["batch_size"])
+                  yield (sampler.sample(cfg["batch_size"], raw=True)
+                         if raw else sampler.sample(cfg["batch_size"]))
 
           stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
           writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)

@@ -48,7 +48,9 @@ class ImageCache:
 
 class PatchSampler:
     """Random patch batches: image pick -> crop -> dihedral aug, vectorized
-    on uint8, returning float32 [0,1] NHWC."""
+    on uint8, returning float32 [0,1] NHWC (or uint8 with ``raw=True`` —
+    the trainers normalize uint8 in-graph, shipping 4x less data to the
+    device)."""
 
     def __init__(self, cache: ImageCache, patch_size: int, seed: int = 0):
         self.cache = cache
@@ -58,7 +60,7 @@ class PatchSampler:
     def reset_seed(self, seed: int):
         self.rng = np.random.default_rng(seed)
 
-    def sample(self, batch_size: int) -> np.ndarray:
+    def sample(self, batch_size: int, raw: bool = False) -> np.ndarray:
         p = self.patch_size
         out = np.empty((batch_size, p, p, 3), dtype=np.uint8)
         n_im = len(self.cache)
@@ -73,6 +75,8 @@ class PatchSampler:
             if patch.ndim == 2:
                 patch = np.stack([patch] * 3, axis=-1)
             out[b] = dihedral_np(patch, int(modes[b]))
+        if raw:
+            return out
         return out.astype(np.float32) / 255.0
 
 
@@ -96,7 +100,7 @@ class PairedPatchSampler:
     def reset_seed(self, seed: int):
         self.rng = np.random.default_rng(seed)
 
-    def sample(self, batch_size: int):
+    def sample(self, batch_size: int, raw: bool = False):
         p = self.patch_size
         noisy = np.empty((batch_size, p, p, 3), dtype=np.uint8)
         gt = np.empty_like(noisy)
@@ -111,5 +115,7 @@ class PairedPatchSampler:
             j = int(self.rng.integers(0, w - p + 1))
             noisy[b] = dihedral_np(im_n[i:i + p, j:j + p], int(modes[b]))
             gt[b] = dihedral_np(im_g[i:i + p, j:j + p], int(modes[b]))
+        if raw:
+            return noisy, gt
         return (noisy.astype(np.float32) / 255.0,
                 gt.astype(np.float32) / 255.0)
