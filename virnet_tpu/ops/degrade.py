@@ -60,9 +60,11 @@ def blur_per_sample(x: jnp.ndarray, kernels: jnp.ndarray,
             reference's in-loss path); False = true convolution (kernel
             flipped, scipy semantics).
         pad_mode: 'reflect' (torch F.pad) or 'symmetric' (scipy).
-        impl: 'auto' | 'pallas' | 'matmul'.  'auto' picks the Pallas VPU
-            stencil (ops/pallas_blur.py, ~1.8x faster, exact FLOPs) on TPU
-            and the matmul formulation elsewhere.
+        impl: 'auto' | 'pallas' | 'matmul'.  'auto' picks the Pallas
+            kernels (ops/pallas_blur.py: MXU banded-matmul for training
+            shapes, VPU static stencil for large planes; ~4-30x faster
+            than the XLA matmul form) on TPU and the matmul formulation
+            elsewhere.
     Returns:
         (N, H, W, C) blurred images.
     """

@@ -1,19 +1,27 @@
-"""Pallas TPU kernel: per-sample k x k stencil blur.
+"""Pallas TPU kernels: per-sample k x k blur (forward, dX, dW).
 
 The per-sample blur (every batch element convolved with its own kernel) is
 the one op in this framework with no good XLA lowering:
 
   * grouped conv (feature_group_count = N*C): pads each 1-wide group to the
     128-lane width — measured ~280 s compile and VPU-bound execution;
-  * banded-matmul reformulation (ops/degrade.blur_per_sample): fast on the
-    MXU but inflates FLOPs ~20x (k matmuls over a W+2p contraction).
+  * XLA-level banded-matmul (ops/degrade.blur_per_sample): inflates FLOPs
+    ~20x AND dispatches ~1000 tiny matmuls (28 ms at 16x3x192² k=21).
 
-This kernel computes the exact stencil on the VPU with no FLOP inflation:
-grid (N, C); each program holds one padded (Hp, Wp) plane in VMEM plus its
-(k, k) kernel and accumulates k² statically-shifted multiply-adds — all
-slices static, so Mosaic emits pure vector ops.  A custom VJP reuses the
-same kernel: dX is the 'full' correlation of the cotangent with the flipped
-kernel, and dW contracts shifted input windows against the cotangent.
+Two kernels behind one dispatcher (_valid_blur / _dw_blur):
+
+  * **MXU banded matmul** (training shapes): each grid-(N,) program builds
+    the k (Wp, W) banded matrices B_dy[i, j] = kern[dy, i-j] in VMEM from
+    a static int8 band mask, then accumulates k fp32 matmuls per channel
+    (Precision.HIGHEST, exact): y[c] = sum_dy xp[c, dy:dy+H, :] @ B_dy.
+    0.89 ms forward at 16x3x192² k=21.  dW runs P_dy = sum_c g[c]^T @
+    xp[c, dy:dy+H, :] on the MXU and extracts dW[dy, :] as banded traces.
+  * **VPU static stencil** (planes whose band matrix would not fit VMEM —
+    whole-image eval blurs): fully static k² unroll accumulating in place,
+    one pallas_call per plane up to 768².
+
+Custom VJP: dX is the 'full' correlation of the cotangent with the flipped
+kernel (same valid-blur kernels), dW as above.
 
 Use via blur_per_sample(..., impl='pallas'); falls back to the matmul path
 on non-TPU backends.
