@@ -1,0 +1,108 @@
+"""Config-file completeness (reference ships configs/sisr_x{2,3,4}.json) and
+init_multihost failure semantics (train_denoising_syn.py:35-39 analogue)."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+from virnet_tpu.config import load_config  # noqa: E402
+from virnet_tpu.train import mesh as mesh_mod  # noqa: E402
+
+
+@pytest.mark.parametrize("sf", [2, 3, 4])
+def test_sisr_config_files_build_trainers(sf, tmp_path):
+    """Every reference SISR scale has a config that builds a real trainer
+    (reference: configs/sisr_x2.json / sisr_x3.json / sisr_x4.json)."""
+    cfg = load_config(REPO / f"configs/sisr_x{sf}.json")
+    assert cfg["sf"] == sf
+    assert cfg["hr_size"] % sf == 0
+    assert cfg["k_size"] == 21
+    cfg["save_dir"] = str(tmp_path / f"x{sf}")
+    from virnet_tpu.cli.train_sisr import build_trainer
+    trainer = build_trainer(cfg)
+    assert trainer.cfg.sf == sf
+    # the reference's per-scale hyperparameter differences are preserved
+    if sf == 2:
+        assert trainer.cfg.lr == pytest.approx(1e-4)
+        assert trainer.cfg.clip_grad_R == pytest.approx(1e2)
+    else:
+        assert trainer.cfg.lr == pytest.approx(2e-4)
+        assert trainer.cfg.clip_grad_R == pytest.approx(5e2)
+
+
+def test_init_multihost_raises_when_multiprocess_requested(monkeypatch):
+    """An explicit num_processes>1 request must never silently degrade to a
+    single-process run."""
+    def boom(**kwargs):
+        raise RuntimeError("bad coordinator")
+
+    monkeypatch.setattr(mesh_mod.jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="multi-host init failed"):
+        mesh_mod.init_multihost("nonsense:1234", num_processes=2,
+                                process_id=0)
+
+
+def test_init_multihost_logs_single_process(monkeypatch, caplog):
+    def boom(**kwargs):
+        raise RuntimeError("already initialized")
+
+    monkeypatch.setattr(mesh_mod.jax.distributed, "initialize", boom)
+    with caplog.at_level("WARNING", logger="virnet_tpu"):
+        n = mesh_mod.init_multihost()
+    assert n == 1
+    assert any("single-process" in r.message for r in caplog.records)
+
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from virnet_tpu.train.mesh import init_multihost
+n = init_multihost(sys.argv[1], num_processes=2, process_id=int(sys.argv[2]))
+assert n == 2, n
+assert jax.process_index() == int(sys.argv[2])
+print("OK", n)
+"""
+
+
+def test_init_multihost_two_process_cpu_smoke():
+    """Real 2-process jax.distributed bring-up over localhost (CPU backend).
+
+    Exercises the coordination plumbing the trainers rely on for multi-host
+    (SURVEY.md §5.8).  Skipped if this jaxlib cannot form the cluster in
+    time (some builds lack the distributed service on CPU).
+    """
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, addr, str(i)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    try:
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=120)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("distributed CPU bring-up timed out here")
+            outs.append((p.returncode, out))
+        if any(rc != 0 for rc, _ in outs):
+            if any("UNIMPLEMENTED" in out or "not supported" in out
+                   for _, out in outs):
+                pytest.skip("jax.distributed unsupported on this platform")
+            raise AssertionError(f"2-process init failed: {outs}")
+        assert all("OK 2" in out for _, out in outs)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()

@@ -83,7 +83,8 @@ class PadOutConv(nn.Module):
     Motivation (measured on v5e): XLA lowers a conv with C_out in {1,3} via
     a batch-in-lanes emitter that runs ~100x off ideal (the RNet tail took
     6.3 ms of a 94 ms forward; SNet's conv_last 1.6 ms).  Computing the same
-    conv at pad_to output channels picks the normal emitter.
+    conv at pad_to output channels (zero-padded weights, sliced back) picks
+    the normal emitter.
 
     Parameter tree is identical to ``conv(features, ...)`` — names 'kernel'
     (HWIO, true features) and 'bias' — so checkpoints are unaffected.
@@ -110,7 +111,6 @@ class PadOutConv(nn.Module):
             b = b.astype(cdt)
         pad = max(self.pad_to, self.features) - self.features
         kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        bp = jnp.pad(b, (0, pad))
         p = self.kernel // 2
         y = jax.lax.conv_general_dilated(
             x, kp, (1, 1), [(p, p), (p, p)],

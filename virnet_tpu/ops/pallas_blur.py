@@ -146,8 +146,15 @@ def _blur_mxu_valid(xp: jnp.ndarray, kernels: jnp.ndarray,
     )(kernels.astype(jnp.float32), xp.astype(jnp.float32), mask)
 
 
-def _use_mxu(k: int, wp: int, w: int) -> bool:
-    return 4 * k * wp * w <= _MXU_BAND_LIMIT_BYTES
+def _use_mxu(k: int, wp: int, w: int, c: int = 1, hp: int = 0) -> bool:
+    """MXU path only when the per-program VMEM working set fits: the banded
+    matrices (f32 scratch + int8 mask) AND the full (1, C, Hp, Wp) input +
+    (1, C, H, W) output blocks (the MXU kernels have no row tiling; the VPU
+    stencil kernels do, so they are the safe fallback for tall planes)."""
+    band = (4 + 1) * k * wp * w
+    h = hp - k + 1 if hp else 0
+    blocks = 4 * c * (hp * wp + h * w)
+    return band <= _MXU_BAND_LIMIT_BYTES and blocks <= 8 * 1024 * 1024
 
 
 def _mxu_dw_kernel(k: int, h: int, w: int, c: int):
@@ -204,7 +211,7 @@ def _dw_blur(xp: jnp.ndarray, g: jnp.ndarray,
              interpret: bool = False) -> jnp.ndarray:
     k = xp.shape[-2] - g.shape[-2] + 1
     wp, w = xp.shape[-1], g.shape[-1]
-    if _use_mxu(k, wp, w):
+    if _use_mxu(k, wp, w, c=xp.shape[1], hp=xp.shape[2]):
         return _blur_mxu_dw(xp, g, interpret=interpret)
     return _blur_pallas_dw(xp, g, interpret=interpret)
 
@@ -216,7 +223,7 @@ def _valid_blur(xp: jnp.ndarray, kernels: jnp.ndarray,
     k = kernels.shape[-1]
     wp = xp.shape[-1]
     w = wp - k + 1
-    if _use_mxu(k, wp, w):
+    if _use_mxu(k, wp, w, c=xp.shape[1], hp=xp.shape[2]):
         return _blur_mxu_valid(xp, kernels, interpret=interpret)
     return _blur_pallas_valid(xp, kernels, interpret=interpret)
 

@@ -28,18 +28,34 @@ def init_multihost(coordinator_address: Optional[str] = None,
     NCCL port plumbing, train_denoising_syn.py:35-39): on TPU pods the
     runtime discovers everything; arguments are only needed off-pod.
 
-    Returns the process count.  Safe to call on a single host (no-op).
+    Returns the process count.  Safe to call on a single host (no-op), but a
+    FAILED multi-process initialization is never silent: when the caller
+    explicitly asked for multiple processes (num_processes > 1) the error is
+    re-raised — a typo'd coordinator address must not degrade to a
+    single-process run — and otherwise it is logged at WARNING.
     """
-    import jax
+    import logging
 
-    if jax.process_count() > 1:
-        return jax.process_count()
+    import jax
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count()   # already initialized
     try:
+        # NOTE: must run before anything touches the XLA backend (even
+        # jax.process_count() counts as touching it).
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+    except (ValueError, RuntimeError) as exc:
+        if num_processes is not None and num_processes > 1:
+            raise RuntimeError(
+                f"multi-host init failed for coordinator "
+                f"{coordinator_address!r} ({num_processes} processes, "
+                f"process_id={process_id}): {exc}") from exc
+        logging.getLogger("virnet_tpu").warning(
+            "jax.distributed.initialize unavailable (%s); continuing "
+            "single-process", exc)
     return jax.process_count()
 
 
