@@ -74,3 +74,21 @@ def test_valid_blur_dispatch():
     """MXU path when the band matrix fits VMEM, VPU stencil otherwise."""
     assert pallas_blur._use_mxu(21, 212, 192)        # training shapes
     assert not pallas_blur._use_mxu(21, 532, 512)    # eval whole images
+
+
+def test_mxu_dx_matches_flip_fallback():
+    """Direct transposed-banded dX kernel vs the flip-and-revalid path."""
+    rng = np.random.default_rng(4)
+    n, c, h, w, k = 2, 3, 12, 14, 5
+    g = jnp.asarray(rng.random((n, c, h, w)).astype(np.float32))
+    kern = jnp.asarray(rng.random((n, k, k)).astype(np.float32))
+    got = pallas_blur._blur_mxu_dx(g, kern, interpret=True)
+    gk = jnp.flip(kern, axis=(-2, -1))
+    g_full = jnp.pad(g, ((0, 0), (0, 0), (k - 1, k - 1), (k - 1, k - 1)))
+    want = pallas_blur._blur_pallas_valid(g_full, gk, interpret=True)
+    assert got.shape == (n, c, h + k - 1, w + k - 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_dx_dispatch_uses_mxu_at_training_shapes():
+    assert pallas_blur._use_mxu(21, 212, 192, c=3, hp=232)

@@ -207,6 +207,81 @@ def _blur_mxu_dw(xp: jnp.ndarray, g: jnp.ndarray,
     )(xp.astype(jnp.float32), g.astype(jnp.float32), mask)
 
 
+def _mxu_dx_kernel(k: int, hp: int, wp: int, c: int):
+    def kern(w_ref, g_ref, m_ref, o_ref, b_ref):
+        # dxp[c, p, :] = sum_dy g[c, p-dy, :] @ B_dy^T with the transposed
+        # banded matrix Bt_dy[w, i] = kern[dy, i-w] (built from the (k, W,
+        # Wp) transposed band mask).  g arrives zero-padded by k-1 rows on
+        # both sides, so the row window for tap dy is the static slice
+        # [(k-1-dy), (k-1-dy)+Hp) — rows only, no column inflation and no
+        # kernel flip (the old path re-ran the valid blur on a cotangent
+        # padded in BOTH dims with flipped kernels).
+        kern2d = w_ref[0]                                   # (k, k)
+        for dy in range(k):
+            b = kern2d[dy, 0] * m_ref[0].astype(jnp.float32)
+            for dj in range(1, k):
+                b = b + kern2d[dy, dj] * m_ref[dj].astype(jnp.float32)
+            b_ref[dy] = b                                   # (W, Wp)
+        for cc in range(c):
+            acc = jnp.zeros((hp, wp), jnp.float32)
+            for dy in range(k):
+                row0 = k - 1 - dy
+                acc = acc + jnp.dot(g_ref[0, cc, row0:row0 + hp, :],
+                                    b_ref[dy],
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+            o_ref[0, cc] = acc
+    return kern
+
+
+def _blur_mxu_dx(g: jnp.ndarray, kernels: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """dL/d(xp) of the valid correlation, direct transposed-banded form:
+    g (N, C, H, W) cotangent, kernels (N, k, k) -> (N, C, Hp, Wp) with
+    Hp = H + k - 1, Wp = W + k - 1."""
+    n, c, h, w = g.shape
+    k = kernels.shape[-1]
+    hp, wp = h + k - 1, w + k - 1
+    gz = jnp.pad(g.astype(jnp.float32),
+                 ((0, 0), (0, 0), (k - 1, k - 1), (0, 0)))
+    mask = jnp.asarray(np.transpose(_band_mask(k, wp, w), (0, 2, 1)))
+    return pl.pallas_call(
+        _mxu_dx_kernel(k, hp, wp, c),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h + 2 * (k - 1), w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, w, wp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, w, wp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * hp * w * wp * k,
+            bytes_accessed=4 * n * c * (hp * wp + h * w) + 4 * k * wp * w,
+            transcendentals=0),
+        interpret=interpret,
+    )(kernels.astype(jnp.float32), gz, mask)
+
+
+def _dx_blur(g: jnp.ndarray, kernels: jnp.ndarray,
+             interpret: bool = False) -> jnp.ndarray:
+    """Dispatch dL/d(xp): direct MXU transposed-banded kernel when it fits
+    VMEM, else the flip-and-revalid fallback through the VPU stencil."""
+    n, c, h, w = g.shape
+    k = kernels.shape[-1]
+    hp, wp = h + k - 1, w + k - 1
+    if _use_mxu(k, wp, w, c=c, hp=h + 2 * (k - 1)):
+        return _blur_mxu_dx(g, kernels, interpret=interpret)
+    gk = jnp.flip(kernels, axis=(-2, -1))
+    g_full = jnp.pad(g, ((0, 0), (0, 0), (k - 1, k - 1), (k - 1, k - 1)))
+    return _valid_blur(g_full, gk, interpret=interpret)
+
+
 def _dw_blur(xp: jnp.ndarray, g: jnp.ndarray,
              interpret: bool = False) -> jnp.ndarray:
     k = xp.shape[-2] - g.shape[-2] + 1
@@ -377,18 +452,14 @@ def _bwd(pad_mode, interpret, res, g):
     pad = k // 2
     g_nchw = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
 
-    # dX: full correlation of g with the flipped kernel, then the VJP of the
-    # padding (jax handles the pad VJP when we re-express pad via jnp.pad's
-    # linearization — do it manually: pad g by k-1, correlate with flip(w),
-    # then fold the halo back per pad_mode).
+    # dX: transposed banded matmul against the cotangent (see _mxu_dx_kernel;
+    # VPU fallback = full correlation with the flipped kernel), then the VJP
+    # of the padding folds the halo back per pad_mode.
     def repad(t):  # differentiable pad wrapper to reuse jax's pad VJP
         return _pad(t, pad, pad_mode)
 
     _, pad_vjp = jax.vjp(repad, x)
-    gk = jnp.flip(kernels, axis=(-2, -1))
-    g_full = jnp.pad(g_nchw, ((0, 0), (0, 0), (k - 1, k - 1),
-                              (k - 1, k - 1)))
-    dxp = _valid_blur(g_full, gk, interpret=interpret)          # N,C,Hp,Wp
+    dxp = _dx_blur(g_nchw, kernels, interpret=interpret)        # N,C,Hp,Wp
     dxp_nhwc = jnp.transpose(dxp, (0, 2, 3, 1)).astype(x.dtype)
     dx = pad_vjp(dxp_nhwc)[0]
 
