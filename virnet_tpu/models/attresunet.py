@@ -27,8 +27,8 @@ from flax import linen as nn
 from ..ops.pad import pad_to_multiple
 from ..ops.upsample import conv_transpose_2x2, nearest_resize
 from ..precision import get_compute_dtype
-from .common import (PadOutConv, conv, lrelu, make_torch_bias_init,
-                     torch_kernel_init)
+from .common import (ConvParams, PadOutConv, conv, lrelu,
+                     make_torch_bias_init, torch_kernel_init)
 
 
 class AttLayer(nn.Module):
@@ -107,6 +107,11 @@ class AttResUNet(nn.Module):
     pad_narrow: int = 0         # compute the 3-channel tail conv at this
                                 # output width (bit-exact slice; see
                                 # common.PadOutConv); 0 disables
+    tail_impl: str = "xla"      # 'xla' | 'pair' | 'pair_interpret': 'pair'
+                                # runs the 3-channel tail conv through the
+                                # Pallas narrow-output kernel (XLA's
+                                # batch-in-lanes emitter is ~100x off
+                                # ideal at C_out=3; forward-only)
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray,
@@ -165,7 +170,14 @@ class AttResUNet(nn.Module):
             x = UpBlock(self.n_feat[jj], self.n_resblocks, remat=self.remat,
                         name=f"up_{jj}")(x, bridges[jj])
 
-        if self.pad_narrow > self.out_chn:
+        if self.tail_impl.startswith("pair"):
+            from ..ops import pallas_conv as pc
+            kt, bt = ConvParams(self.out_chn, 3, self.n_feat[0],
+                                name="tail")()
+            out = pc.conv3x3_out_pair(
+                pc.pair(x), kt, bt,
+                interpret=self.tail_impl == "pair_interpret")
+        elif self.pad_narrow > self.out_chn:
             out = PadOutConv(self.out_chn, 3, self.n_feat[0],
                              pad_to=self.pad_narrow, name="tail")(x)
         else:

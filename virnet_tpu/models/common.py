@@ -75,6 +75,57 @@ def lrelu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope=slope)
 
 
+class ConvParams(nn.Module):
+    """Declares the parameters of a conv (same names, shapes, and init
+    draws as ``conv(features, ...)`` — HWIO 'kernel' + 'bias' under this
+    module's name) and returns them, for paths that run the convolution
+    through a custom kernel (ops/pallas_conv.py) instead of nn.Conv.
+    Checkpoints are interchangeable between the two implementations."""
+    features: int
+    kernel: int
+    in_features: int
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self):
+        kshape = (self.kernel, self.kernel, self.in_features, self.features)
+        fan_in = self.kernel * self.kernel * self.in_features
+        k = self.param("kernel", self.kernel_init or torch_kernel_init,
+                       kshape)
+        b = self.param("bias",
+                       self.bias_init or make_torch_bias_init(fan_in),
+                       (self.features,))
+        cdt = get_compute_dtype()
+        if cdt is not None:
+            k = k.astype(cdt)
+            b = b.astype(cdt)
+        return k, b
+
+
+def resolve_conv_impl(impl: str) -> str:
+    """'auto' -> 'xla'; explicit values pass through.  Opt in to the
+    Pallas pixel-pair conv path with VIRNET_TPU_PALLAS_CONV=1.
+
+    Why 'xla' wins for now (same-session v5e A/B, flagship denoise
+    32x256^2 bf16): plain XLA 91.9 ms/apply vs pair-fused 93.8 / pair
+    per-op 93.1.  The fused Pallas DnCNN itself runs 2x faster than
+    XLA's 64-channel emitters (4.9-5.8 ms vs ~10), but the custom-call
+    boundary forces layout materialization around it that costs more
+    than the kernel saves (details: BASELINE.md 'pixel-pair conv
+    postmortem').  The kernels stay available (conv_impl='pair') for
+    shapes where the stack dominates the surrounding graph."""
+    if impl != "auto":
+        return impl
+    import os
+
+    import jax as _jax
+    if (os.environ.get("VIRNET_TPU_PALLAS_CONV")
+            and _jax.default_backend() == "tpu"):
+        return "pair"
+    return "xla"
+
+
 class PadOutConv(nn.Module):
     """3x3 conv whose few-output-channel head is computed at a wider,
     MXU-friendly output width and sliced back — bit-exact (the pad channels

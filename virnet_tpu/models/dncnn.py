@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import (PadOutConv, conv, leaky_relu_gain, lrelu,
+from .common import (ConvParams, PadOutConv, conv, leaky_relu_gain, lrelu,
                      orthogonal_gain_init)
 
 
@@ -22,6 +22,10 @@ class DnCNN(nn.Module):
     slope: float = 0.25
     pad_narrow: int = 0   # compute the 1/3-channel conv_last at this output
                           # width (bit-exact slice; common.PadOutConv)
+    conv_impl: str = "xla"   # 'xla' | 'pair' | 'pair_interpret': 'pair'
+                             # runs the whole stack through the Pallas
+                             # pixel-pair kernels (forward-only; the XLA
+                             # path remains the training default)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -29,20 +33,50 @@ class DnCNN(nn.Module):
         zeros = nn.initializers.zeros_init()
         in_chn = x.shape[-1]
 
-        x = conv(self.num_filters, 3, in_chn, name="conv1",
-                 kernel_init=init, bias_init=zeros)(x)
-        x = lrelu(x, self.slope)
-        for ii in range(1, self.dep - 1):
-            x = conv(self.num_filters, 3, self.num_filters,
-                     name=f"mid_{ii}", kernel_init=init, bias_init=zeros)(x)
-            x = lrelu(x, self.slope)
-        if self.pad_narrow > self.out_channels:
-            x = PadOutConv(self.out_channels, 3, self.num_filters,
-                           pad_to=self.pad_narrow, kernel_init=init,
-                           bias_init=zeros, name="conv_last")(x)
+        if self.conv_impl.startswith("pair"):  # pair | pair_ops | pair_interpret
+            x = self._pair_stack(x, in_chn, init, zeros)
         else:
-            x = conv(self.out_channels, 3, self.num_filters,
-                     name="conv_last", kernel_init=init, bias_init=zeros)(x)
+            x = conv(self.num_filters, 3, in_chn, name="conv1",
+                     kernel_init=init, bias_init=zeros)(x)
+            x = lrelu(x, self.slope)
+            for ii in range(1, self.dep - 1):
+                x = conv(self.num_filters, 3, self.num_filters,
+                         name=f"mid_{ii}", kernel_init=init,
+                         bias_init=zeros)(x)
+                x = lrelu(x, self.slope)
+            if self.pad_narrow > self.out_channels:
+                x = PadOutConv(self.out_channels, 3, self.num_filters,
+                               pad_to=self.pad_narrow, kernel_init=init,
+                               bias_init=zeros, name="conv_last")(x)
+            else:
+                x = conv(self.out_channels, 3, self.num_filters,
+                         name="conv_last", kernel_init=init,
+                         bias_init=zeros)(x)
         if self.noise_avg:
             x = jnp.mean(x, axis=(-3, -2), keepdims=True)
         return x
+
+    def _pair_stack(self, x, in_chn, init, zeros):
+        """The whole conv1 -> mids -> conv_last stack through the fused
+        Pallas kernel (ops/pallas_conv.dncnn_pair_fused: one program per
+        row tile, 64-channel activations never leave VMEM); parameter tree
+        identical to the XLA branch.  Odd widths are padded and re-masked
+        every level in-kernel so zero 'same'-padding semantics stay
+        bit-exact."""
+        from ..ops import pallas_conv as pc
+
+        interp = self.conv_impl == "pair_interpret"
+        nf = self.num_filters
+        k1, b1 = ConvParams(nf, 3, in_chn, kernel_init=init,
+                            bias_init=zeros, name="conv1")()
+        kms, bms = [], []
+        for ii in range(1, self.dep - 1):
+            km, bm = ConvParams(nf, 3, nf, kernel_init=init,
+                                bias_init=zeros, name=f"mid_{ii}")()
+            kms.append(km)
+            bms.append(bm)
+        kl, bl = ConvParams(self.out_channels, 3, nf, kernel_init=init,
+                            bias_init=zeros, name="conv_last")()
+        return pc.dncnn_pair_fused(
+            x, k1, b1, kms, bms, kl, bl, slope=self.slope,
+            force_ops=self.conv_impl == "pair_ops", interpret=interp)

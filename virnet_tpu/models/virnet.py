@@ -39,17 +39,22 @@ class VIRNet(nn.Module):
     remat: bool = False
     pad_narrow: int = 0   # MXU-friendly width for narrow output convs
                           # (bit-exact; see models/common.PadOutConv)
+    conv_impl: str = "xla"   # 'xla' | 'pair' | 'pair_interpret': Pallas
+                             # pixel-pair kernels for the SNet stack and
+                             # the RNet tail (forward-only fast path)
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
                           noise_avg=self.noise_avg,
-                          pad_narrow=self.pad_narrow, name="snet")
+                          pad_narrow=self.pad_narrow,
+                          conv_impl=self.conv_impl, name="snet")
         self.RNet = AttResUNet(out_chn=self.im_chn, n_feat=self.n_feat,
                                n_resblocks=self.n_resblocks,
                                extra_mode=self.extra_mode if self.noise_cond
                                else "null",
                                remat=self.remat,
                                pad_narrow=self.pad_narrow,
+                               tail_impl=self.conv_impl,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -76,11 +81,13 @@ class VIRNetSR(nn.Module):
     remat: bool = False
     pad_narrow: int = 0   # MXU-friendly width for narrow output convs
                           # (bit-exact; see models/common.PadOutConv)
+    conv_impl: str = "xla"   # see VIRNet.conv_impl
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
                           noise_avg=self.noise_avg,
-                          pad_narrow=self.pad_narrow, name="snet")
+                          pad_narrow=self.pad_narrow,
+                          conv_impl=self.conv_impl, name="snet")
         self.KNet = KernelNet(out_chn=self.kernel_chn, num_blocks=self.dep_K,
                               name="knet")
         cond = self.noise_cond or self.kernel_cond
@@ -89,6 +96,7 @@ class VIRNetSR(nn.Module):
                                extra_mode=self.extra_mode if cond else "null",
                                remat=self.remat,
                                pad_narrow=self.pad_narrow,
+                               tail_impl=self.conv_impl,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray, sf: int):
@@ -144,9 +152,16 @@ ARCH_PRESETS = {
 
 
 def build_model(task: str, **overrides):
-    """Construct a model from a released-checkpoint preset name."""
+    """Construct a model from a released-checkpoint preset name.
+
+    ``conv_impl`` defaults to 'auto' = 'xla' (measured fastest in-model;
+    see models/common.resolve_conv_impl).  VIRNET_TPU_PALLAS_CONV=1
+    opts the SNet stack + RNet tail into the Pallas pixel-pair kernels
+    on TPU backends."""
+    from .common import resolve_conv_impl
     cfg = dict(ARCH_PRESETS[task])
     cls_name = cfg.pop("cls")
     cfg.update(overrides)
+    cfg["conv_impl"] = resolve_conv_impl(cfg.get("conv_impl", "auto"))
     cls = VIRNet if cls_name == "VIRNet" else VIRNetSR
     return cls(**cfg)
