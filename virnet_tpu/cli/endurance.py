@@ -48,6 +48,13 @@ def main(argv=None):
                    help="packdb sampler threads (0 = auto)")
     p.add_argument("--sync_every", type=int, default=50,
                    help="steps between host fetches (true sync points)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="async input prefetch depth (0 = synchronous "
+                        "sample+upload, the round-2 behavior)")
+    p.add_argument("--device_data", action="store_true",
+                   help="device-resident dataset: upload the pack to HBM "
+                        "once, sample/crop/augment inside the jitted step "
+                        "(data/device_data.py) — zero host bytes per step")
     p.add_argument("--save_dir", type=str, default="/tmp/virnet_endurance")
     args = p.parse_args(argv)
 
@@ -80,8 +87,14 @@ def main(argv=None):
     # device as uint8 (normalized in-graph): on this 1-core dev host the
     # float32 upload through the relay dominated wall time (90% "input"
     # wait at 3.7 steps/s); uint8 cuts the transfer 4x.
-    batch = sampler.sample(args.batch_size, raw=True)
-    aux = trainer.run_step(batch, epoch=0)
+    dataset = None
+    if args.device_data:
+        from ..data.device_data import DeviceDataset
+        dataset = DeviceDataset.from_packdb(trainer.mesh, pack_path)
+        aux = trainer.run_step_device(dataset, epoch=0)
+    else:
+        batch = sampler.sample(args.batch_size, raw=True)
+        aux = trainer.run_step(batch, epoch=0)
     _ = float(aux["loss"])
 
     deadline = time.perf_counter() + args.minutes * 60.0
@@ -89,11 +102,30 @@ def main(argv=None):
     steps = 0
     t_start = time.perf_counter()
     last_loss = float("nan")
+    prefetcher = None
+    if args.device_data:
+        get_batch = lambda: None  # noqa: E731 — input path has no host work
+    elif args.prefetch > 0:
+        # async path: a background thread samples + uploads batch N+1
+        # while step N runs; "input" time is then the wall the *consumer*
+        # spends blocked on the queue (pure overlap shows ~0)
+        from ..data.prefetch import DevicePrefetcher
+
+        def batches():
+            while True:
+                yield sampler.sample(args.batch_size, raw=True)
+
+        prefetcher = DevicePrefetcher(batches(), trainer.mesh,
+                                      depth=args.prefetch)
+        get_batch = prefetcher.__next__
+    else:
+        get_batch = lambda: sampler.sample(args.batch_size, raw=True)  # noqa: E731
     while time.perf_counter() < deadline:
         t0 = time.perf_counter()
-        batch = sampler.sample(args.batch_size, raw=True)
+        batch = get_batch()
         input_time += time.perf_counter() - t0
-        aux = trainer.run_step(batch, epoch=0)
+        aux = (trainer.run_step_device(dataset, epoch=0) if args.device_data
+               else trainer.run_step(batch, epoch=0))
         steps += 1
         if steps % args.sync_every == 0:
             last_loss = float(aux["loss"])      # host fetch = sync point
@@ -103,10 +135,14 @@ def main(argv=None):
                   f"loss {last_loss:.1f}", flush=True)
     last_loss = float(aux["loss"])
     total = time.perf_counter() - t_start
+    if prefetcher is not None:
+        prefetcher.close()
 
     summary = {
         "metric": "endurance",
         "mode": args.mode,
+        "prefetch": args.prefetch,
+        "device_data": bool(args.device_data),
         "minutes": round(total / 60.0, 2),
         "steps": steps,
         "steps_per_s": round(steps / total, 3),

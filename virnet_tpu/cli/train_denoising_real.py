@@ -71,7 +71,21 @@ def main(argv=None):
     trainer = build_trainer(cfg)
     writer = TrainWriter(save_dir / "logs")
 
-    if cfg.get("train_pack_file"):
+    dataset = sampler = None
+    if as_bool(cfg.get("device_data", False)):
+        # device-resident records: upload once, sample/crop/augment inside
+        # the jitted step (data/device_data.py) — zero host bytes per step
+        if not cfg.get("train_pack_file"):
+            raise ValueError("device_data=true needs train_pack_file "
+                             "(fixed-size records); pack folders with "
+                             "data/packdb.pack_from_folders or convert "
+                             "LMDB via data/lmdb_convert")
+        from ..data.device_data import DeviceDataset
+        dataset = DeviceDataset.from_packdb(trainer.mesh,
+                                            cfg["train_pack_file"])
+        logger.info(f"Device-resident records: {dataset.num_records} x "
+                    f"{dataset.rec_shape}")
+    elif cfg.get("train_pack_file"):
         # native mmap'd pack file + C++ threaded sampler (data/packdb.py)
         from ..data.packdb import PackDBSampler
         sampler = PackDBSampler(cfg["train_pack_file"], cfg["patch_size"])
@@ -87,14 +101,19 @@ def main(argv=None):
 
     def run_epochs(epoch_start):
       for epoch in range(epoch_start, cfg["epochs"]):
-          sampler.reset_seed(epoch)
+          if dataset is not None:
+              stats = trainer.train_epoch_device(epoch, dataset, steps,
+                                                 log_fn=logger.info)
+          else:
+              sampler.reset_seed(epoch)
 
-          def batches():
-              # uint8 pairs to the device; normalized in-graph
-              for _ in range(steps):
-                  yield sampler.sample(cfg["batch_size"], raw=True)
+              def batches():
+                  # uint8 pairs to the device; normalized in-graph
+                  for _ in range(steps):
+                      yield sampler.sample(cfg["batch_size"], raw=True)
 
-          stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+              stats = trainer.train_epoch(epoch, batches(),
+                                          log_fn=logger.info)
           writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
 
           if have_val:

@@ -61,8 +61,20 @@ def main(argv=None):
     if not train_paths:
         raise SystemExit("no training images found — check train_data paths")
     logger.info(f"Number of training images: {len(train_paths)}")
-    cache = ImageCache(train_paths)
-    sampler = PatchSampler(cache, cfg["patch_size"])
+    dataset = sampler = None
+    if as_bool(cfg.get("device_data", False)):
+        # device-resident GT records: one-time host crop + upload, then
+        # sampling/crop/augment runs inside the jitted step
+        from ..data.device_data import DeviceDataset, records_from_images
+        recs = records_from_images(
+            train_paths, int(cfg.get("device_record_size", 256)),
+            per_image=int(cfg.get("device_records_per_image", 8)))
+        dataset = DeviceDataset(trainer.mesh, recs)
+        logger.info(f"Device-resident GT records: {dataset.num_records} x "
+                    f"{dataset.rec_shape}")
+    else:
+        cache = ImageCache(train_paths)
+        sampler = PatchSampler(cache, cfg["patch_size"])
 
     # validation data (fixed-seed synthesis)
     val_paths = sorted(str(p) for p in Path(cfg["val_data"]).glob("*.png"))
@@ -72,14 +84,19 @@ def main(argv=None):
 
     def run_epochs(epoch_start):
       for epoch in range(epoch_start, cfg["epochs"]):
-          sampler.reset_seed(epoch)
+          if dataset is not None:
+              stats = trainer.train_epoch_device(epoch, dataset, steps,
+                                                 log_fn=logger.info)
+          else:
+              sampler.reset_seed(epoch)
 
-          def batches():
-              # uint8 to the device; the trainer normalizes in-graph
-              for _ in range(steps):
-                  yield sampler.sample(cfg["batch_size"], raw=True)
+              def batches():
+                  # uint8 to the device; the trainer normalizes in-graph
+                  for _ in range(steps):
+                      yield sampler.sample(cfg["batch_size"], raw=True)
 
-          stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+              stats = trainer.train_epoch(epoch, batches(),
+                                          log_fn=logger.info)
           writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
           logger.info(f"train: Loss={stats.get('loss', 0):+.2e}, "
                       f"lh={stats.get('lh', 0):+.2e}, "

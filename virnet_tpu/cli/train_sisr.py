@@ -72,6 +72,19 @@ def main(argv=None):
     if not hr_paths:
         raise SystemExit("no HR patches found — check train_hr_patchs")
     logger.info(f"Number of HR patches: {len(hr_paths)}")
+    dataset = None
+    if as_bool(cfg.get("device_data", False)):
+        if trainer.host_batches:
+            raise SystemExit("device_data is incompatible with the JPEG "
+                             "noise branch (host-side libjpeg)")
+        from ..data.device_data import DeviceDataset, records_from_images
+        recs = records_from_images(
+            hr_paths,
+            int(cfg.get("device_record_size", max(cfg["hr_size"], 256))),
+            per_image=int(cfg.get("device_records_per_image", 4)))
+        dataset = DeviceDataset(trainer.mesh, recs)
+        logger.info(f"Device-resident HR records: {dataset.num_records} x "
+                    f"{dataset.rec_shape}")
     cache = ImageCache(hr_paths)
     if trainer.host_batches:
         from ..data.sisr_host import HostSISRSampler
@@ -105,15 +118,20 @@ def main(argv=None):
 
     def run_epochs(epoch_start):
       for epoch in range(epoch_start, cfg["epochs"]):
-          sampler.reset_seed(epoch * 1000)
+          if dataset is not None:
+              stats = trainer.train_epoch_device(epoch, dataset, steps,
+                                                 log_fn=logger.info)
+          else:
+              sampler.reset_seed(epoch * 1000)
 
-          raw = not trainer.host_batches   # HostSISRSampler degrades in float
-          def batches():
-              for _ in range(steps):
-                  yield (sampler.sample(cfg["batch_size"], raw=True)
-                         if raw else sampler.sample(cfg["batch_size"]))
+              raw = not trainer.host_batches   # HostSISRSampler degrades
+              def batches():                   # in float
+                  for _ in range(steps):
+                      yield (sampler.sample(cfg["batch_size"], raw=True)
+                             if raw else sampler.sample(cfg["batch_size"]))
 
-          stats = trainer.train_epoch(epoch, batches(), log_fn=logger.info)
+              stats = trainer.train_epoch(epoch, batches(),
+                                          log_fn=logger.info)
           writer.scalar("Loss_epoch", stats.get("loss", 0.0), epoch)
 
           for nt, val_set in val_sets.items():

@@ -74,6 +74,23 @@ def write_packdb(path, noisy: np.ndarray,
                 f.write(gt[i].tobytes())
 
 
+def read_packdb_arrays(path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read a whole pack back as (noisy, gt) uint8 arrays (gt None for
+    unpaired packs).  Inverse of write_packdb; pure python (no .so needed)
+    — for tooling/tests, not the training hot path."""
+    raw = Path(path).read_bytes()
+    if raw[:4] != _MAGIC:
+        raise ValueError(f"not a packdb file: {path}")
+    n, h, w, c, paired = struct.unpack("<5I", raw[4:24])
+    rec = h * w * c
+    per = rec * (2 if paired else 1)
+    body = np.frombuffer(raw, np.uint8, count=n * per, offset=24)
+    body = body.reshape(n, 2 if paired else 1, h, w, c)
+    noisy = body[:, 0]
+    gt = body[:, 1] if paired else None
+    return noisy, gt
+
+
 class PackDBSampler:
     """Batch sampler over a pack file; same call surface as
     PairedPatchSampler (data/sources.py)."""

@@ -57,6 +57,9 @@ class DenoiseTrainConfig:
     eps2: float = 1e-6
     var_window: int = 7
     noise_mode: str = "niid"    # niid | iid  (synthetic) / 'real'
+    prefetch: int = 2           # batches in flight ahead of the device
+                                # (data/prefetch.py; 0 disables — the
+                                # reference's prefetch_factor analogue)
     mixed_precision: bool = True  # bf16 activations (params/opt stay fp32)
     use_mixup: bool = True      # real-data mode only (reference
                                 # train_denoising_real.py:163)
@@ -155,7 +158,77 @@ class DenoiseTrainer:
                        gnorm_s=norms.get("snet", 0.0))
             return params, opt_state, aux
 
+        self._train_step_raw = train_step
         return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------- device-resident data
+
+    def _build_device_train_step(self, batch_size: int, patch: int):
+        """Train step whose input batch is sampled ON DEVICE from a
+        resident record array (data/device_data.py): gather + random crop
+        + dihedral augment fuse into the step's XLA program, so the host
+        contributes one dispatch and zero bytes per step.  The record
+        arrays are step *arguments* (same buffers every call — no
+        transfer), not closure constants."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..data.device_data import sample_patches
+
+        base_step = self._train_step_raw
+        bs = NamedSharding(self.mesh, P("data"))
+
+        def step(params, opt_state, data_arrays, key):
+            k_sample, k_noise = jax.random.split(key)
+            if len(data_arrays) == 2:
+                noisy, gt = sample_patches(
+                    k_sample, data_arrays[0], batch_size, patch,
+                    extra=data_arrays[1])
+                batch = (jax.lax.with_sharding_constraint(noisy, bs),
+                         jax.lax.with_sharding_constraint(gt, bs))
+            else:
+                gt = sample_patches(k_sample, data_arrays[0], batch_size,
+                                    patch)
+                batch = jax.lax.with_sharding_constraint(gt, bs)
+            return base_step(params, opt_state, batch, k_noise)
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def run_step_device(self, dataset, epoch: int) -> Dict[str, float]:
+        """One step fed from a DeviceDataset (zero host input bytes)."""
+        if getattr(self, "_train_step_dev", None) is None:
+            self._train_step_dev = self._build_device_train_step(
+                self.cfg.batch_size, self.cfg.patch_size)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), epoch),
+            self.step)
+        self.params, self.opt_state, aux = self._train_step_dev(
+            self.params, self.opt_state, dataset.arrays, key)
+        self.step += 1
+        return aux
+
+    def train_epoch_device(self, epoch: int, dataset, steps: int,
+                           log_fn: Optional[Callable] = None
+                           ) -> Dict[str, float]:
+        cfg = self.cfg
+        tic = time.time()
+        sums: Dict[str, float] = {}
+        count = 0
+        for ii in range(steps):
+            aux = self.run_step_device(dataset, epoch)
+            if (ii + 1) % cfg.print_freq == 0 or ii == 0:
+                vals = {k: float(v) for k, v in aux.items()}
+                lr = float(self.schedule(self.step))
+                msg = (f"[Epoch:{epoch + 1:>2d}/{cfg.epochs:<2d}] "
+                       f"train:{ii + 1:0>5d}/{steps:0>5d}, "
+                       f"lh={vals['lh']:+4.2f}, KLG={vals['kl_gauss']:+7.2f}, "
+                       f"KLIG={vals['kl_ig']:+6.2f}, lr={lr:.2e}")
+                (log_fn or print)(msg)
+                for k, v in vals.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                count += 1
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        out["epoch_time"] = time.time() - tic
+        return out
 
     def run_step(self, batch, epoch: int) -> Dict[str, float]:
         """One optimization step.  ``batch``: GT NHWC float32 (synthetic) or
@@ -177,6 +250,10 @@ class DenoiseTrainer:
         tic = time.time()
         sums: Dict[str, float] = {}
         count = 0
+        if cfg.prefetch > 0:
+            from ..data.prefetch import DevicePrefetcher
+            batch_iter = DevicePrefetcher(batch_iter, self.mesh,
+                                          depth=cfg.prefetch)
         for ii, batch in enumerate(batch_iter):
             aux = self.run_step(batch, epoch)
             if (ii + 1) % cfg.print_freq == 0 or ii == 0:

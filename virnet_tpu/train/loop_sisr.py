@@ -65,6 +65,9 @@ class SISRTrainConfig:
     var_window: int = 9
     kappa0: float = 50.0
     penalty_K: tuple = (0.02, 2.0)
+    prefetch: int = 2           # batches in flight ahead of the device
+                                # (data/prefetch.py; 0 disables — the
+                                # reference's prefetch_factor analogue)
     mixed_precision: bool = True  # bf16 activations (params/opt stay fp32)
     seed: int = 1234
     save_dir: str = "./train_save_sisr"
@@ -168,7 +171,73 @@ class SISRTrainer:
                        gnorm_k=norms.get("knet", 0.0))
             return params, opt_state, aux
 
+        self._train_step_raw = train_step
         return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------- device-resident data
+
+    def _build_device_train_step(self, batch_size: int, hr_size: int):
+        """HR patch sampling (gather + random crop + dihedral) fused into
+        the jitted SISR step; see loop_denoise._build_device_train_step.
+        Not available with host_batches (the JPEG branch needs libjpeg on
+        the host)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..data.device_data import sample_patches
+
+        if self.host_batches:
+            raise ValueError("device-resident data requires on-device "
+                             "degradation (host_batches=False)")
+        base_step = self._train_step_raw
+        bs = NamedSharding(self.mesh, P("data"))
+
+        def step(params, opt_state, data_arrays, key):
+            k_sample, k_step = jax.random.split(key)
+            hr = sample_patches(k_sample, data_arrays[0], batch_size,
+                                hr_size)
+            hr = jax.lax.with_sharding_constraint(hr, bs)
+            return base_step(params, opt_state, hr, k_step)
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def run_step_device(self, dataset, epoch: int) -> Dict[str, jnp.ndarray]:
+        """One step fed from a DeviceDataset of HR records (zero host
+        input bytes; degradation already runs on device)."""
+        if getattr(self, "_train_step_dev", None) is None:
+            self._train_step_dev = self._build_device_train_step(
+                self.cfg.batch_size, self.cfg.hr_size)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), epoch),
+            self.step)
+        self.params, self.opt_state, aux = self._train_step_dev(
+            self.params, self.opt_state, dataset.arrays, key)
+        self.step += 1
+        return aux
+
+    def train_epoch_device(self, epoch: int, dataset, steps: int,
+                           log_fn: Optional[Callable] = None
+                           ) -> Dict[str, float]:
+        cfg = self.cfg
+        tic = time.time()
+        sums: Dict[str, float] = {}
+        count = 0
+        for ii in range(steps):
+            aux = self.run_step_device(dataset, epoch)
+            if (ii + 1) % cfg.print_freq == 0 or ii == 0:
+                vals = {k: float(v) for k, v in aux.items()}
+                lr = float(self.schedule(self.step))
+                msg = (f"[Epoch:{epoch + 1:>2d}/{cfg.epochs:<2d}] "
+                       f"train:{ii + 1:0>5d}/{steps:0>5d}, "
+                       f"lh={vals['lh']:+4.2f}, KLR={vals['kl_rnet']:+6.2f}, "
+                       f"KLS={vals['kl_snet']:+6.2f}, "
+                       f"KLK={vals['kl_knet']:+6.2f}, lr={lr:.2e}")
+                (log_fn or print)(msg)
+                for k, v in vals.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                count += 1
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        out["epoch_time"] = time.time() - tic
+        return out
 
     def run_step(self, im_hr_batch, epoch: int) -> Dict[str, jnp.ndarray]:
         key = jax.random.fold_in(
@@ -186,6 +255,10 @@ class SISRTrainer:
         tic = time.time()
         sums: Dict[str, float] = {}
         count = 0
+        if cfg.prefetch > 0:
+            from ..data.prefetch import DevicePrefetcher
+            batch_iter = DevicePrefetcher(batch_iter, self.mesh,
+                                          depth=cfg.prefetch)
         for ii, batch in enumerate(batch_iter):
             aux = self.run_step(batch, epoch)
             if (ii + 1) % cfg.print_freq == 0 or ii == 0:
