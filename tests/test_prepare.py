@@ -141,3 +141,31 @@ def test_h5_benchmark_roundtrip(tmp_path):
         np.testing.assert_allclose(noisy - gt,
                                    noisy - gt)  # finite
         assert np.isfinite(noisy).all()
+
+
+def test_corpus_download_list_and_verify(tmp_path):
+    """Training-corpora work-list protocol (reference corpora:
+    configs/denoising_syn.json:27-31) — same line format as the SIDD
+    list, plus an inventory check for unpacked folders."""
+    from virnet_tpu.data.prepare import (TRAIN_CORPORA,
+                                         corpus_download_list,
+                                         verify_corpus)
+
+    lines = corpus_download_list()
+    assert len(lines) == 4
+    for line in lines:
+        dest, url = line.split(" ", 1)
+        assert url.startswith("https://")
+        assert dest.split("/")[0] in TRAIN_CORPORA
+
+    sub = corpus_download_list(["DIV2K_train_HR"])
+    assert len(sub) == 1 and "DIV2K_train_HR.zip" in sub[0]
+
+    d = tmp_path / "div2k"
+    (d / "nested").mkdir(parents=True)
+    for i in range(800):
+        (d / "nested" / f"{i:04d}.png").touch()
+    rep = verify_corpus(d, "DIV2K_train_HR")
+    assert rep["ok"] and rep["found"] == 800
+    (d / "nested" / "extra.png").touch()
+    assert not verify_corpus(d, "DIV2K_train_HR")["ok"]

@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--downsampler", type=str, default="bicubic")
     p.add_argument("--lpips", type=str, default="auto",
                    choices=["auto", "on", "off"])
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="images per forward within an LR-shape group")
     args = p.parse_args(argv)
 
     ckpt = args.ckpt_path or str(Path("model_zoo")
@@ -65,6 +67,7 @@ def main(argv=None):
                                   nlevel=args.nlevel,
                                   downsampler=args.downsampler,
                                   use_lpips=use_lpips,
+                                  batch_size=args.batch_size,
                                   log_fn=logger.info)
 
     if args.save_dir:

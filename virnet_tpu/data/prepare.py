@@ -178,3 +178,67 @@ def sidd_download_list(cameras: Optional[Sequence[str]] = None,
         return lines
     return [(f"SIDD_Medium_Srgb_Parts_{cam}.zip" if srgb_only
              else f"SIDD_Medium_Raw_Parts_{cam}.zip") for cam in cameras]
+
+
+# ------------------------------------------------------------------ corpora
+
+#: The reference's training corpora (configs/denoising_syn.json:27-31 names
+#: the four denoising folders; the SISR HR pool is DIV2K+Flickr2K,
+#: datasets/prepare_data/SISR/im2patch_train.py:33-54).  Each entry records
+#: the official distribution URL(s), the archive-internal path holding the
+#: images, and the expected image count in the folder the configs point at
+#: — enough for an operator on a machine *with* egress to fetch, unpack,
+#: and verify everything with one script (this build image has none).
+#: Checksums are listed only where the publisher documents one.
+TRAIN_CORPORA = {
+    "CBSD432": dict(
+        urls=["https://www2.eecs.berkeley.edu/Research/Projects/CS/"
+              "vision/grouping/BSR/BSR_bsds500.tgz"],
+        inner_path="BSR/BSDS500/data/images/{train,val}",
+        expected_images=432, ext="jpg",
+        note="CBSD432 = the 432 color train+val images of BSDS500 "
+             "(the 68 test images are the CBSD68 eval set and must be "
+             "excluded from training)"),
+    "WED": dict(
+        urls=["https://ivc.uwaterloo.ca/database/WaterlooExploration/"
+              "exploration_database_and_code.rar"],
+        inner_path="pristine_images",
+        expected_images=4744, ext="bmp",
+        note="Waterloo Exploration Database"),
+    "Flickr2K_HR": dict(
+        urls=["https://cv.snu.ac.kr/research/EDSR/Flickr2K.tar"],
+        inner_path="Flickr2K/Flickr2K_HR",
+        expected_images=2650, ext="png", note="Flickr2K HR images"),
+    "DIV2K_train_HR": dict(
+        urls=["https://data.vision.ee.ethz.ch/cvl/DIV2K/"
+              "DIV2K_train_HR.zip"],
+        inner_path="DIV2K_train_HR",
+        expected_images=800, ext="png",
+        note="DIV2K training HR (NTIRE 2017)"),
+}
+
+
+def corpus_download_list(names: Optional[Sequence[str]] = None) -> List[str]:
+    """Download work-list for the training corpora, one line per archive:
+    ``<corpus>/<filename> <url>`` — the same line format
+    ``sidd_download_list`` emits, ready for any fetcher (wget -i, axel,
+    aria2c).  ``names`` defaults to all four reference corpora."""
+    names = list(names) if names is not None else list(TRAIN_CORPORA)
+    lines: List[str] = []
+    for name in names:
+        spec = TRAIN_CORPORA[name]
+        for url in spec["urls"]:
+            lines.append(f"{name}/{url.split('/')[-1]} {url}")
+    return lines
+
+
+def verify_corpus(root, name: str) -> dict:
+    """Check an unpacked corpus folder against the expected inventory.
+
+    Returns {'name', 'found', 'expected', 'ok'}; ``found`` counts
+    ``*.<ext>`` files recursively under ``root`` (the reference's configs
+    glob a flat folder, but archives unpack nested)."""
+    spec = TRAIN_CORPORA[name]
+    found = len(list(Path(root).rglob(f"*.{spec['ext']}")))
+    return dict(name=name, found=found, expected=spec["expected_images"],
+                ok=found == spec["expected_images"])

@@ -144,12 +144,20 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
                         sf: int, nlevel: float = 2.55,
                         qf: Optional[int] = None, seed: int = 1234,
                         downsampler: str = "bicubic", use_lpips=None,
-                        log_fn=print) -> Dict[str, Dict]:
+                        batch_size: int = 8, log_fn=print) -> Dict[str, Dict]:
     """Table 5 reproduction (reference scripts/sisr_virnet_syn.py:98-193):
     7 fixed kernels, bicubic degradation with seeded noise, Y-channel
     PSNR/SSIM with border=sf^2, and LPIPS-alex on RGB when weights are
-    available (reference :158-161; use_lpips=None -> auto-detect)."""
+    available (reference :158-161; use_lpips=None -> auto-detect).
+
+    As in Table 1/2, degradation synthesis is sequential (per-image seeded
+    RNG — identical pixels to the reference protocol) but forwards are
+    batched per LR shape: benchmark sets mix only a couple of orientations,
+    so the TPU runs ``batch_size`` images per dispatch instead of the
+    reference's one-image-per-forward loop (scripts/sisr_virnet_syn.py:
+    119-156)."""
     from . import lpips as lpips_mod
+    from .tiling import bucket_size
 
     if use_lpips is None:
         use_lpips = lpips_mod.available()
@@ -160,24 +168,53 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
         pattern = Path(d).name if "*" in d else "*.png"
         root = Path(d).parent if "*" in d else Path(d)
         im_list = sorted(str(x) for x in root.glob(pattern))
+        gts = []
+        for im_path in im_list:
+            im_gt = imread(im_path, chn="rgb", dtype="uint8")
+            im_gt = modcrop(im_gt, sf)
+            if im_gt.ndim == 2:
+                im_gt = np.stack([im_gt] * 3, axis=2)
+            gts.append((Path(im_path).stem, im_gt))
         per_kernel = []
         for ind_k, (kernel, _kinfo) in enumerate(kernels):
             psnrs, ssims, lpipss = {}, {}, {}
-            for im_path in im_list:
-                name = Path(im_path).stem
-                im_gt = imread(im_path, chn="rgb", dtype="uint8")
-                im_gt = modcrop(im_gt, sf)
-                if im_gt.ndim == 2:
-                    im_gt = np.stack([im_gt] * 3, axis=2)
-                im_lr = degrade_np(img_as_float32(im_gt), kernel, sf,
-                                   nlevel=nlevel, qf=qf, seed=seed,
-                                   downsampler=downsampler)
-                out = restorer.restore_image(im_lr)
-                im_sr = img_as_ubyte(np.clip(out, 0.0, 1.0))
-                psnrs[name] = calculate_psnr(im_sr, im_gt, sf ** 2, True)
-                ssims[name] = calculate_ssim(im_sr, im_gt, sf ** 2, True)
-                if use_lpips:
-                    lpipss[name] = lpips_mod.lpips_rgb(im_sr, im_gt)
+            # sequential synthesis, then shape-batched forwards
+            items = [(name, im_gt,
+                      degrade_np(img_as_float32(im_gt), kernel, sf,
+                                 nlevel=nlevel, qf=qf, seed=seed,
+                                 downsampler=downsampler))
+                     for name, im_gt in gts]
+            # group by PAD BUCKET, not exact shape: benchmark SISR sets mix
+            # many image sizes (Set14 has ~12 distinct LR shapes) but only
+            # a few pad buckets, and each image is reflect-padded to its
+            # bucket by exactly the margins the single-image path would
+            # use, so batching by bucket is score-identical
+            by_bucket: Dict[tuple, list] = {}
+            for it in items:
+                h, w = it[2].shape[:2]
+                by_bucket.setdefault(
+                    (bucket_size(h, restorer.pad_multiple),
+                     bucket_size(w, restorer.pad_multiple)), []).append(it)
+            for (hb, wb), group in by_bucket.items():
+                for s in range(0, len(group), batch_size):
+                    sub = group[s:s + batch_size]
+                    x = np.stack([
+                        np.pad(g[2], ((0, hb - g[2].shape[0]),
+                                      (0, wb - g[2].shape[1]), (0, 0)),
+                               mode="reflect")
+                        if g[2].shape[:2] != (hb, wb) else g[2]
+                        for g in sub])
+                    out = np.asarray(restorer.restore_batch(jnp.asarray(x)))
+                    for (name, im_gt, lr), o in zip(sub, out):
+                        h, w = lr.shape[:2]
+                        im_sr = img_as_ubyte(
+                            np.clip(o[:h * sf, :w * sf], 0.0, 1.0))
+                        psnrs[name] = calculate_psnr(im_sr, im_gt,
+                                                     sf ** 2, True)
+                        ssims[name] = calculate_ssim(im_sr, im_gt,
+                                                     sf ** 2, True)
+                        if use_lpips:
+                            lpipss[name] = lpips_mod.lpips_rgb(im_sr, im_gt)
             mp, ms = (float(np.mean(list(psnrs.values()))),
                       float(np.mean(list(ssims.values()))))
             rec = dict(psnr=mp, ssim=ms)
