@@ -169,3 +169,46 @@ def test_corpus_download_list_and_verify(tmp_path):
     assert rep["ok"] and rep["found"] == 800
     (d / "nested" / "extra.png").touch()
     assert not verify_corpus(d, "DIV2K_train_HR")["ok"]
+
+
+def test_synth_camera_pairs(tmp_path):
+    src = tmp_path / "clean"
+    src.mkdir()
+    # smooth gradient images so the signal-dependent variance is visible
+    for i in range(6):
+        import cv2
+        g = np.linspace(0, 255, 64 * 64, dtype=np.float32)
+        img = (g.reshape(64, 64)[..., None].repeat(3, axis=2)
+               + 10 * i).clip(0, 255).astype(np.uint8)
+        cv2.imwrite(str(src / f"im{i}.png"), img)
+    out = tmp_path / "sidd_like"
+    res = P.synth_camera_pairs(sorted(src.glob("*.png")), out,
+                               pch_size=32, patches_per_img=3,
+                               n_val_imgs=2, n_val_blocks=2, seed=7)
+    # layout matches configs/denoising_real.json expectations
+    assert res["n_train"] == len(list((out / "patches256" / "noisy")
+                                      .glob("*.png")))
+    assert res["n_train"] == len(list((out / "patches256" / "gt")
+                                      .glob("*.png")))
+    assert res["n_train"] > 0 and res["val_shape"] == (2, 2, 32, 32, 3)
+    from scipy.io import loadmat
+
+    vn = loadmat(out / "ValidationNoisyBlocksSrgb.mat")[
+        "ValidationNoisyBlocksSrgb"]
+    vg = loadmat(out / "ValidationGtBlocksSrgb.mat")[
+        "ValidationGtBlocksSrgb"]
+    assert vn.shape == vg.shape == (2, 2, 32, 32, 3)
+    assert vn.dtype == np.uint8
+    # noise is signal-dependent: bright-half residual var > dark-half
+    resid = vn.astype(np.float32) - vg.astype(np.float32)
+    bright = vg.astype(np.float32) > 128
+    assert resid[bright].std() > resid[~bright].std()
+    assert abs(resid.mean()) < 3.0  # roughly unbiased
+    # deterministic re-run
+    out2 = tmp_path / "again"
+    res2 = P.synth_camera_pairs(sorted(src.glob("*.png")), out2,
+                                pch_size=32, patches_per_img=3,
+                                n_val_imgs=2, n_val_blocks=2, seed=7)
+    vn2 = loadmat(out2 / "ValidationNoisyBlocksSrgb.mat")[
+        "ValidationNoisyBlocksSrgb"]
+    assert np.array_equal(vn, vn2) and res2["n_train"] == res["n_train"]

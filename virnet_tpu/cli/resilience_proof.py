@@ -139,6 +139,16 @@ def main(argv=None):
                    "as JSON (falls back to raw string)")
     args = p.parse_args(argv)
 
+    if args.platform:
+        # Pin the platform in THIS process too, not just the children:
+        # the checkpoint comparison below imports orbax/jax, and letting
+        # that initialize the default (remote TPU) backend makes the
+        # harness hang for many minutes when the relay is unreachable.
+        os.environ["VIRNET_TPU_PLATFORM"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     from ..config import load_config
 
     base = load_config(args.config)

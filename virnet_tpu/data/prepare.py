@@ -10,6 +10,8 @@
   (reference .../simulation/noise_generate.py:30-73)
 * SIDD downloader — URL-list generator; actual fetching is left to the
   operator (this build environment has no egress)
+* camera-noise pair synthesizer — SIDD-style paired dataset (train folder
+  pair + validation .mats) from clean images, for offline demo training
 """
 
 from __future__ import annotations
@@ -230,6 +232,89 @@ def corpus_download_list(names: Optional[Sequence[str]] = None) -> List[str]:
         for url in spec["urls"]:
             lines.append(f"{name}/{url.split('/')[-1]} {url}")
     return lines
+
+
+def synth_camera_pairs(im_paths: Sequence, out_dir, pch_size: int = 256,
+                       patches_per_img: int = 12, seed: int = 20260817,
+                       n_val_imgs: int = 8, n_val_blocks: int = 4,
+                       shot_range=(2e-4, 8e-3),
+                       read_range=(1e-6, 1e-4)) -> dict:
+    """Synthesize a SIDD-style paired real-noise dataset from clean images.
+
+    The reference's real-noise trainer consumes SIDD scene pairs
+    (datasets/DenoisingDatasets.py:101-177); this image has no egress, so
+    demo training uses a shot/read-style stand-in: each source image
+    becomes a "scene" with one camera-noise draw — heteroscedastic
+    Gaussian noise with var = a*I + b on the sRGB intensity (per-scene
+    log-uniform a, b), uint8 quantize.  Signal-dependent variance is what
+    exercises the trainer's sigma^2-prior residual filter
+    (ops/degrade.py:noise_estimate) the way real SIDD data does.
+
+    Emits the exact layout configs/denoising_real.json expects:
+      <out>/patches256/{noisy,gt}/cam_N.png        (training pairs)
+      <out>/ValidationNoisyBlocksSrgb.mat          (n_val_imgs, n_val_blocks,
+      <out>/ValidationGtBlocksSrgb.mat              pch, pch, 3) uint8
+    Returns {'n_train', 'val_shape', 'out_dir'}.
+    """
+    from scipy.io import savemat
+
+    out_dir = Path(out_dir)
+    noisy_dir = out_dir / "patches256" / "noisy"
+    gt_dir = out_dir / "patches256" / "gt"
+    noisy_dir.mkdir(parents=True, exist_ok=True)
+    gt_dir.mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+
+    def camera_noise(img_f32):
+        lo, hi = shot_range
+        a = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        lo, hi = read_range
+        b = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        sig = np.sqrt(a * np.clip(img_f32, 0.0, 1.0) + b).astype(np.float32)
+        noisy = img_f32 + rng.standard_normal(img_f32.shape).astype(
+            np.float32) * sig
+        return np.clip(np.round(noisy * 255.0), 0, 255).astype(np.uint8)
+
+    im_paths = sorted(str(p) for p in im_paths)
+    n_train = 0
+    val_noisy, val_gt = [], []
+    for idx, path in enumerate(im_paths):
+        gt_u8 = imread(path, chn="bgr", dtype="uint8")
+        h, w = gt_u8.shape[:2]
+        if h < pch_size or w < pch_size:
+            continue
+        noisy_u8 = camera_noise(gt_u8.astype(np.float32) / 255.0)
+        is_val = len(val_noisy) < n_val_imgs and idx % 5 == 0
+        if is_val:
+            blocks_n, blocks_g = [], []
+            for _ in range(n_val_blocks):
+                i0 = int(rng.integers(0, h - pch_size + 1))
+                j0 = int(rng.integers(0, w - pch_size + 1))
+                sl = np.s_[i0:i0 + pch_size, j0:j0 + pch_size]
+                blocks_n.append(noisy_u8[sl][:, :, ::-1])  # BGR->RGB
+                blocks_g.append(gt_u8[sl][:, :, ::-1])
+            val_noisy.append(np.stack(blocks_n))
+            val_gt.append(np.stack(blocks_g))
+        else:
+            for _ in range(patches_per_img):
+                i0 = int(rng.integers(0, h - pch_size + 1))
+                j0 = int(rng.integers(0, w - pch_size + 1))
+                sl = np.s_[i0:i0 + pch_size, j0:j0 + pch_size]
+                name = f"cam_{n_train}.png"
+                imwrite(noisy_u8[sl], noisy_dir / name, chn="bgr")
+                imwrite(gt_u8[sl], gt_dir / name, chn="bgr")
+                n_train += 1
+
+    val_noisy_arr = np.stack(val_noisy) if val_noisy else np.zeros(
+        (0, n_val_blocks, pch_size, pch_size, 3), np.uint8)
+    val_gt_arr = np.stack(val_gt) if val_gt else val_noisy_arr
+    savemat(out_dir / "ValidationNoisyBlocksSrgb.mat",
+            {"ValidationNoisyBlocksSrgb": val_noisy_arr})
+    savemat(out_dir / "ValidationGtBlocksSrgb.mat",
+            {"ValidationGtBlocksSrgb": val_gt_arr})
+    return dict(n_train=n_train, val_shape=tuple(val_noisy_arr.shape),
+                out_dir=str(out_dir))
 
 
 def verify_corpus(root, name: str) -> dict:
