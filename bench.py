@@ -21,17 +21,45 @@ steps/s, SIDD megatime) live in bench_full.py, recorded in BASELINE.md.
 """
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+
+def _chip_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the TPU backend in a bounded subprocess.
+
+    When the axon relay is unreachable, backend init hangs ~20 min in a
+    socket retry loop; without this guard the whole bench would hang
+    instead of reporting.
+    """
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "np.asarray(jnp.ones((4, 4)) * 2); print('CHIP-OK')")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             timeout=timeout_s, capture_output=True,
+                             text=True)
+        return out.returncode == 0 and "CHIP-OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
+    if not _chip_reachable():
+        print(json.dumps({
+            "metric": "restored_megapixels_per_sec_per_chip",
+            "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (relay down); last measured "
+                     "values in BENCH_FULL.json / BASELINE.md",
+        }))
+        return
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from virnet_tpu.models import build_model
     from virnet_tpu import precision
-
     # throughput path: bf16 weights + activations
     precision.set_precision("default")
 
