@@ -48,9 +48,16 @@ def build_trainer(cfg: dict) -> SISRTrainer:
         kappa0=cfg.get("kappa0", 50),
         penalty_K=tuple(cfg.get("penalty_K", (0.02, 2))),
         mixed_precision=as_bool(cfg.get("mixed_precision", True)),
+        add_jpeg_in_graph=(as_bool(cfg.get("add_jpeg", False))
+                           and as_bool(cfg.get("jpeg_in_graph", False))),
+        noise_jpeg=tuple(cfg.get("noise_jpeg", (0.1, 10))),
         save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
-    # JPEG noise needs libjpeg round trips -> host degradation path
-    host_batches = as_bool(cfg.get("add_jpeg", False))
+    # JPEG noise: exact libjpeg round trips need the host degradation
+    # path; jpeg_in_graph=true instead uses the device-side DCT codec
+    # (ops/jpeg.py) and keeps the whole degradation in the jitted step
+    # (device_data-compatible)
+    host_batches = (as_bool(cfg.get("add_jpeg", False))
+                    and not as_bool(cfg.get("jpeg_in_graph", False)))
     return SISRTrainer(tcfg, host_batches=host_batches)
 
 

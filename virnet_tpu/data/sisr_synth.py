@@ -14,8 +14,11 @@ Parity notes:
     transpose the in-graph kernel to match;
   * the host pipeline pads with scipy's edge-repeating 'reflect'
     (= jnp 'symmetric') and uses true convolution (flipped kernel);
-  * JPEG-noise branches require libjpeg round trips and remain host-side
-    (data/eval_sets.py); the on-device path covers the Gaussian branch.
+  * the JPEG noise branch runs in-graph when ``add_jpeg=True`` via the
+    device-side block-DCT codec (ops/jpeg.py, a measured-close float
+    approximation of libjpeg) — enabling device-resident JPEG training;
+    the bit-exact libjpeg path remains host-side (data/sisr_host.py,
+    data/eval_sets.py) and validation always uses it.
 """
 
 from __future__ import annotations
@@ -73,14 +76,38 @@ def blur_symmetric_convolve(x: jnp.ndarray, kernels: jnp.ndarray):
     return blur_per_sample(x, kernels, correlate=False, pad_mode="symmetric")
 
 
+def random_qf_device(key: jax.Array, batch: int) -> jnp.ndarray:
+    """In-graph twin of the MATLAB-style JPEG quality table
+    (data/sisr_host.py:random_qf, reference datasets/SISRDatasets.py:52-60):
+    pick a (start, end) bucket uniformly, then an integer qf uniformly
+    inside it (inclusive)."""
+    start = jnp.array([30, 35, 40, 45, 60, 70, 80], jnp.float32)
+    end = jnp.array([35, 40, 45, 60, 70, 80, 95], jnp.float32)
+    k1, k2 = jax.random.split(key)
+    ind = jax.random.randint(k1, (batch,), 0, start.shape[0])
+    lo, hi = start[ind], end[ind]
+    u = jax.random.uniform(k2, (batch,))
+    return jnp.minimum(lo + jnp.floor(u * (hi - lo + 1.0)), hi)
+
+
 def synthesize_sisr_batch(key: jax.Array, im_hr: jnp.ndarray, sf: int,
                           k_size: int = 21,
                           kernel_shift: bool = False,
                           downsampler: str = "bicubic",
-                          noise_level=(0.1, 15.0)) -> SISRBatch:
-    """(key, HR batch NHWC) -> degraded training batch, all on device."""
+                          noise_level=(0.1, 15.0),
+                          add_jpeg: bool = False,
+                          noise_jpeg=(0.1, 10.0)) -> SISRBatch:
+    """(key, HR batch NHWC) -> degraded training batch, all on device.
+
+    With ``add_jpeg`` each sample draws its noise type uniformly
+    (reference datasets/SISRDatasets.py:102-114): Gaussian at
+    U(noise_level)/255, or Gaussian at U(noise_jpeg)/255 followed by a
+    JPEG round trip at a table-drawn quality (ops/jpeg.jpeg_degrade).
+    ``nlevel`` returns the Gaussian std in both branches, as the
+    reference does.
+    """
     batch = im_hr.shape[0]
-    k_ker, k_nl, k_noise = jax.random.split(key, 3)
+    k_ker, k_nl, k_noise, k_type, k_qf, k_nlj = jax.random.split(key, 6)
 
     cov, kinfo = sample_kernel_params(k_ker, batch, sf)
     # torch-convention kernel transposed == numpy/data-convention kernel
@@ -94,8 +121,20 @@ def synthesize_sisr_batch(key: jax.Array, im_hr: jnp.ndarray, sf: int,
     std = jax.random.uniform(k_nl, (batch, 1, 1, 1),
                              minval=noise_level[0] / 255.0,
                              maxval=noise_level[1] / 255.0)
+    if add_jpeg:
+        is_jpeg = jax.random.bernoulli(k_type, 0.5, (batch,))
+        std_j = jax.random.uniform(k_nlj, (batch, 1, 1, 1),
+                                   minval=noise_jpeg[0] / 255.0,
+                                   maxval=noise_jpeg[1] / 255.0)
+        std = jnp.where(is_jpeg[:, None, None, None], std_j, std)
     noise = jax.random.normal(k_noise, im_blur_lr.shape, im_blur_lr.dtype)
     im_lr = jnp.clip(im_blur_lr + noise * std, 0.0, 1.0)
+    if add_jpeg:
+        from ..ops.jpeg import jpeg_degrade
+
+        qf = random_qf_device(k_qf, batch)
+        im_jpeg = jpeg_degrade(im_lr, qf)
+        im_lr = jnp.where(is_jpeg[:, None, None, None], im_jpeg, im_lr)
 
     return SISRBatch(im_hr=im_hr, im_lr=im_lr, im_blur=im_blur_lr,
                      kinfo=kinfo, nlevel=std.reshape(batch, 1))

@@ -49,6 +49,10 @@ class SISRTrainConfig:
     kernel_shift: bool = False
     downsampler: str = "bicubic"
     noise_level: tuple = (0.01, 15.0)
+    add_jpeg_in_graph: bool = False   # device-side JPEG noise branch
+                                      # (ops/jpeg.py approximation of the
+                                      # reference's libjpeg round trip)
+    noise_jpeg: tuple = (0.1, 10.0)
     # training
     batch_size: int = 16
     hr_size: int = 192
@@ -142,7 +146,9 @@ class SISRTrainer:
             else:
                 batch = synthesize_sisr_batch(
                     k_synth, data, cfg.sf, cfg.k_size, cfg.kernel_shift,
-                    cfg.downsampler, cfg.noise_level)
+                    cfg.downsampler, cfg.noise_level,
+                    add_jpeg=cfg.add_jpeg_in_graph,
+                    noise_jpeg=cfg.noise_jpeg)
             sigma_prior = (batch.nlevel ** 2).reshape(-1, 1, 1, 1)
             cdt = jnp.bfloat16 if cfg.mixed_precision else None
             prec = "default" if cfg.mixed_precision else "highest"
