@@ -1,0 +1,85 @@
+"""Spatially-sharded restoration (eval/spatial.py) vs the whole-image
+forward on the virtual 8-device CPU mesh.
+
+The claim under test: with halo >= receptive field, stitching the
+per-device strip forwards reproduces the whole-image forward to float
+tolerance — including at the true image edges, where SNet's raw-input
+zero padding and RNet's reflect pad-to-multiple are both replicated by
+the stage-wise window anchoring.  TPU-native analogue of the reference's
+recursive 4-quadrant tiling (utils/util_net.py:27-65) for the multi-chip
+case.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from virnet_tpu.eval.spatial import plan_strips, restore_rows_sharded
+from virnet_tpu.models import VIRNet
+from virnet_tpu.train.mesh import make_mesh
+
+
+def _model_params(n_feat=(8, 16), dep_s=2):
+    model = VIRNet(im_chn=3, sigma_chn=1, dep_S=dep_s,
+                   n_feat=n_feat, n_resblocks=1, extra_mode="input")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    return model, params
+
+
+def test_plan_strips_covers_and_stays_inside():
+    kept, win, starts = plan_strips(256, 8, halo=12, unit=4)
+    assert kept * 8 >= 256 and win == kept + 2 * 12
+    assert all(0 <= s <= 256 - win for s in starts)
+    assert starts[0] == 0 and starts[-1] == 256 - win
+    assert all(s % 4 == 0 for s in starts)
+    # interior kept rows sit >= halo inside their window
+    for i, s in enumerate(starts[1:-1], start=1):
+        assert i * kept - s >= 12
+
+
+def test_plan_strips_rejects_short_images():
+    with pytest.raises(ValueError, match="too short"):
+        plan_strips(40, 8, halo=32, unit=4)
+
+
+def test_matches_whole_image_forward():
+    model, params = _model_params()
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    # odd size: exercises pad_to_multiple + non-divisible strip overhang
+    img = rng.uniform(size=(483, 161, 3)).astype(np.float32)
+
+    ref = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(img)[None])[0])[0]
+    # halo 24 >> the tiny model's receptive field (~13 rows measured)
+    out = restore_rows_sharded(model, params, img, mesh, halo=24)
+
+    assert out.shape == img.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_short_image_falls_back_to_plain_forward():
+    model, params = _model_params()
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(40, 64, 3)).astype(np.float32)
+    ref = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(img)[None])[0])[0]
+    out = restore_rows_sharded(model, params, img, mesh, halo=32)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_insufficient_halo_actually_diverges():
+    """Sanity that the exactness test is meaningful: halo 0 must NOT
+    match (otherwise the assertion above would be vacuous)."""
+    model, params = _model_params()
+    mesh = make_mesh()
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(483, 161, 3)).astype(np.float32)
+    ref = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(img)[None])[0])[0]
+    out = restore_rows_sharded(model, params, img, mesh, halo=0)
+    assert np.abs(out - ref).max() > 1e-4
