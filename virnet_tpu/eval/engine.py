@@ -25,8 +25,17 @@ class Restorer:
     """Denoising / SISR inference on HWC numpy images."""
 
     def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
-                 pad_multiple: int = 64, gray_mean: bool = False,
+                 pad_multiple: int = 0, gray_mean: bool = False,
                  **model_overrides):
+        # pad_multiple=0 (default) feeds the model the RAW image — the
+        # reference's exact semantics (the model reflect-pads internally
+        # to 2^(depth-1); SNet/KNet and the SISR global pools see the
+        # true image).  pad_multiple>0 reflect-pads inputs to size
+        # buckets first, trading edge exactness for fewer recompiles on
+        # mixed-size folders: measured vs exact on trained demo weights,
+        # denoise drifts +0.0005 dB; SISR at a non-bucket LR shape
+        # drifts +0.014 dB because noise_avg/KNet pool over the padded
+        # area — above the ±0.01 dB parity bar, hence exact-by-default.
         # gray_mean=False saves the 3-channel restoration for gray inputs,
         # matching the reference (scripts/testing_demo.py:83-97); True
         # averages back to single-channel.

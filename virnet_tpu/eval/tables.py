@@ -184,11 +184,12 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
                                  nlevel=nlevel, qf=qf, seed=seed,
                                  downsampler=downsampler))
                      for name, im_gt in gts]
-            # group by PAD BUCKET, not exact shape: benchmark SISR sets mix
-            # many image sizes (Set14 has ~12 distinct LR shapes) but only
-            # a few pad buckets, and each image is reflect-padded to its
-            # bucket by exactly the margins the single-image path would
-            # use, so batching by bucket is score-identical
+            # group by pad bucket (= exact shape in the default exact
+            # mode, pad_multiple=0).  A Restorer built with
+            # pad_multiple>0 trades recompiles for a small edge drift:
+            # the SISR global pools (noise_avg sigma, KNet) then see the
+            # padded area — measured +0.014 dB PSNR-Y at a non-bucket
+            # shape, which is why exact is the default.
             by_bucket: Dict[tuple, list] = {}
             for it in items:
                 h, w = it[2].shape[:2]

@@ -23,10 +23,12 @@ import numpy as np
 def bucket_size(n: int, multiple: int = 64,
                 buckets: Sequence[int] = ()) -> int:
     """Smallest bucket >= n: explicit bucket list if given, else next
-    multiple."""
+    multiple.  multiple <= 1 means exact (no bucketing)."""
     for b in buckets:
         if b >= n:
             return b
+    if multiple <= 1:
+        return n
     return int(math.ceil(n / multiple) * multiple)
 
 
