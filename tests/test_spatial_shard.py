@@ -83,3 +83,23 @@ def test_insufficient_halo_actually_diverges():
                                  jnp.asarray(img)[None])[0])[0]
     out = restore_rows_sharded(model, params, img, mesh, halo=0)
     assert np.abs(out - ref).max() > 1e-4
+
+
+def test_restorer_sharded_method_matches_restore_image():
+    from virnet_tpu.eval.engine import Restorer
+
+    model, params = _model_params()
+    r = Restorer("denoising-syn", params=params,
+                 n_feat=(8, 16), dep_S=2, n_resblocks=1)
+    rng = np.random.default_rng(4)
+    im = rng.uniform(size=(483, 161, 3)).astype(np.float32)
+    plain = np.clip(r.restore_image(im), 0.0, 1.0)
+    sharded = r.restore_image_sharded(im, halo=24)
+    np.testing.assert_allclose(sharded, plain, atol=2e-5)
+
+    with pytest.raises(ValueError, match="denoising only"):
+        r.task = "sisr"
+        try:
+            r.restore_image_sharded(im)
+        finally:
+            r.task = "denoising-syn"

@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--prefix", type=str, default="restored_")
     parser.add_argument("--flip", action="store_true",
                         help="x8 flip/rotation self-ensemble")
+    parser.add_argument("--rows_shard", action="store_true",
+                        help="shard each image's rows across the whole "
+                             "device mesh (huge-image denoising; bit-"
+                             "exact vs the plain forward)")
     args = parser.parse_args(argv)
 
     from ..eval.engine import Restorer
@@ -59,10 +63,18 @@ def main(argv=None):
 
     out_dir = Path(args.out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if args.rows_shard and args.task == "sisr":
+        raise SystemExit("--rows_shard supports the denoising tasks only "
+                         "(the SISR model pools sigma/kinfo globally)")
+
     for im_path in collect_images(Path(args.in_path)):
         im = imread(im_path, chn="rgb", dtype="float32")
-        restored = (restorer.restore_image_tta(im) if args.flip
-                    else restorer.restore_image(im))
+        if args.rows_shard:
+            restored = restorer.restore_image_sharded(im)
+        elif args.flip:
+            restored = restorer.restore_image_tta(im)
+        else:
+            restored = restorer.restore_image(im)
         out = img_as_ubyte(np.clip(restored, 0.0, 1.0))
         out_file = out_dir / f"{args.prefix}{im_path.stem}.png"
         imwrite(out, out_file, chn="rgb")

@@ -97,6 +97,28 @@ class Restorer:
         """NHWC float32 batch -> restored NHWC (clamped to [0,1])."""
         return jnp.clip(self._forward(self.params, x), 0.0, 1.0)
 
+    def restore_image_sharded(self, im: np.ndarray, mesh=None,
+                              halo: int = 128) -> np.ndarray:
+        """Restore one huge image with its rows sharded across the device
+        mesh (eval/spatial.py) — bit-exact vs restore_image's raw
+        forward.  Denoising tasks only (the SISR noise_avg/KNet pools
+        are global, so SISR windows are not window-local)."""
+        if self.task == "sisr":
+            raise ValueError("spatial sharding supports denoising only "
+                             "(the SISR model pools sigma/kinfo globally)")
+        from ..train.mesh import make_mesh
+        from .spatial import restore_rows_sharded
+
+        squeeze_gray = im.ndim == 2
+        if squeeze_gray:
+            im = np.stack([im] * 3, axis=2)
+        out = restore_rows_sharded(self.model, self.params, im,
+                                   mesh or make_mesh(), halo=halo)
+        out = np.clip(out, 0.0, 1.0)
+        if squeeze_gray and self.gray_mean:
+            out = out.mean(axis=2)
+        return out
+
     def restore_image_tta(self, im: np.ndarray) -> np.ndarray:
         """x8 flip/rotation self-ensemble of restore_image (sequential —
         arbitrary image shapes; square batches should use eval/tta.py)."""
