@@ -116,3 +116,25 @@ def test_degrade_batch_direct_vs_bicubic_shapes():
     for method, sf in [("direct", 2), ("bicubic", 4)]:
         out = D.degrade_batch(x, ker, sf, method)
         assert out.shape == (2, 32 // sf, 32 // sf, 3)
+
+
+def test_conv_transpose_lax_variant_matches_einsum():
+    """The UpBlock ConvT variant tools/bench_convt.py A/Bs on chip:
+    lax.conv_transpose on the spatially-flipped kernel must equal the
+    einsum formulation, so the swap (if it wins the timing) is safe."""
+    from jax import lax
+
+    from virnet_tpu.precision import get_precision
+
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 6, 5, 4)).astype(np.float32)
+    k = rng.standard_normal((2, 2, 4, 3)).astype(np.float32)
+    b = rng.standard_normal(3).astype(np.float32)
+
+    want = np.asarray(U.conv_transpose_2x2(
+        jnp.asarray(x), jnp.asarray(k), jnp.asarray(b)))
+    got = np.asarray(lax.conv_transpose(
+        jnp.asarray(x), jnp.asarray(k[::-1, ::-1]), strides=(2, 2),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=get_precision()) + jnp.asarray(b))
+    np.testing.assert_allclose(got, want, atol=1e-5)
