@@ -183,6 +183,13 @@ def bench_sidd_megatime():
 
 
 def main():
+    from bench import _chip_reachable
+
+    if not _chip_reachable():
+        print(json.dumps({"error": "TPU backend unreachable (relay down); "
+                          "BENCH_FULL.json left untouched"}))
+        return
+
     from virnet_tpu import precision
 
     precision.set_precision("default")       # throughput path
