@@ -97,9 +97,58 @@ def test_restorer_sharded_method_matches_restore_image():
     sharded = r.restore_image_sharded(im, halo=24)
     np.testing.assert_allclose(sharded, plain, atol=2e-5)
 
-    with pytest.raises(ValueError, match="denoising only"):
-        r.task = "sisr"
-        try:
-            r.restore_image_sharded(im)
-        finally:
-            r.task = "denoising-syn"
+
+def test_restorer_sharded_method_sisr_route():
+    from virnet_tpu.eval.engine import Restorer
+
+    model, params = _sr_model_params()
+    r = Restorer("sisr", params=params, sf=2, sigma_chn=1, dep_S=2,
+                 dep_K=2, n_feat=(8, 16), n_resblocks=1,
+                 extra_mode="both", noise_avg=True)
+    rng = np.random.default_rng(7)
+    lr = rng.uniform(size=(123, 61, 3)).astype(np.float32)
+    plain = np.clip(r.restore_image(lr), 0.0, 1.0)
+    sharded = r.restore_image_sharded(lr, halo=24)
+    np.testing.assert_allclose(sharded, plain, atol=2e-5)
+
+
+def _sr_model_params(noise_avg=True):
+    from virnet_tpu.models import VIRNetSR
+
+    model = VIRNetSR(im_chn=3, sigma_chn=1, kernel_chn=3, dep_S=2, dep_K=2,
+                     n_feat=(8, 16), n_resblocks=1, extra_mode="both",
+                     noise_cond=True, kernel_cond=True, noise_avg=noise_avg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3)), 2)["params"]
+    return model, params
+
+
+@pytest.mark.parametrize("noise_avg", [True, False])
+def test_sisr_matches_whole_image_forward(noise_avg):
+    from virnet_tpu.eval.spatial import sr_restore_rows_sharded
+
+    model, params = _sr_model_params(noise_avg)
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    lr = rng.uniform(size=(123, 61, 3)).astype(np.float32)
+
+    ref = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(lr)[None], 2)[0])[0]
+    out = sr_restore_rows_sharded(model, params, lr, sf=2, mesh=mesh,
+                                  halo=24)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sisr_short_image_falls_back():
+    from virnet_tpu.eval.spatial import sr_restore_rows_sharded
+
+    model, params = _sr_model_params()
+    mesh = make_mesh()
+    rng = np.random.default_rng(6)
+    lr = rng.uniform(size=(20, 24, 3)).astype(np.float32)
+    ref = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(lr)[None], 2)[0])[0]
+    out = sr_restore_rows_sharded(model, params, lr, sf=2, mesh=mesh,
+                                  halo=32)
+    np.testing.assert_allclose(out, ref, atol=1e-6)

@@ -37,8 +37,8 @@ def main(argv=None):
                         help="x8 flip/rotation self-ensemble")
     parser.add_argument("--rows_shard", action="store_true",
                         help="shard each image's rows across the whole "
-                             "device mesh (huge-image denoising; bit-"
-                             "exact vs the plain forward)")
+                             "device mesh (huge images; matches the "
+                             "plain forward)")
     args = parser.parse_args(argv)
 
     from ..eval.engine import Restorer
@@ -63,10 +63,6 @@ def main(argv=None):
 
     out_dir = Path(args.out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
-    if args.rows_shard and args.task == "sisr":
-        raise SystemExit("--rows_shard supports the denoising tasks only "
-                         "(the SISR model pools sigma/kinfo globally)")
-
     for im_path in collect_images(Path(args.in_path)):
         im = imread(im_path, chn="rgb", dtype="float32")
         if args.rows_shard:

@@ -100,20 +100,22 @@ class Restorer:
     def restore_image_sharded(self, im: np.ndarray, mesh=None,
                               halo: int = 128) -> np.ndarray:
         """Restore one huge image with its rows sharded across the device
-        mesh (eval/spatial.py) — bit-exact vs restore_image's raw
-        forward.  Denoising tasks only (the SISR noise_avg/KNet pools
-        are global, so SISR windows are not window-local)."""
-        if self.task == "sisr":
-            raise ValueError("spatial sharding supports denoising only "
-                             "(the SISR model pools sigma/kinfo globally)")
+        mesh (eval/spatial.py) — matches restore_image's raw forward to
+        float reduction-order tolerance (denoising: bitwise; SISR: the
+        global sigma pool re-reduces over the stitched map)."""
         from ..train.mesh import make_mesh
-        from .spatial import restore_rows_sharded
+        from .spatial import restore_rows_sharded, sr_restore_rows_sharded
 
         squeeze_gray = im.ndim == 2
         if squeeze_gray:
             im = np.stack([im] * 3, axis=2)
-        out = restore_rows_sharded(self.model, self.params, im,
-                                   mesh or make_mesh(), halo=halo)
+        mesh = mesh or make_mesh()
+        if self.task == "sisr":
+            out = sr_restore_rows_sharded(self.model, self.params, im,
+                                          self.sf, mesh, halo=halo)
+        else:
+            out = restore_rows_sharded(self.model, self.params, im, mesh,
+                                       halo=halo)
         out = np.clip(out, 0.0, 1.0)
         if squeeze_gray and self.gray_mean:
             out = out.mean(axis=2)

@@ -31,9 +31,14 @@ next to the U-Net activations, which this scheme already shards n ways
 along with the compute.  Window starts are Python ints, so XLA sees one
 fixed program per stage.
 
-Only the denoising model is offered: the SISR wrapper pools its noise
-estimate over the whole image (noise_avg, networks/VIRNet.py:81), so its
-window forwards are legitimately not window-local.
+SISR (sr_restore_rows_sharded) decomposes further, because two of its
+stages are global (networks/VIRNet.py:80-97): the noise_avg sigma is a
+mean over the whole SNet map — computed here from the stitched strip-
+exact map, so the pool is over exactly the whole-image values — and
+KNet contains channel-attention global pools in every residual block,
+but runs on a stride-4 LR feature map, so it executes whole-image on
+one device at negligible cost.  RNet then shards over the upsampled
+grid with the per-sample-constant conditioning passed compact.
 """
 
 from __future__ import annotations
@@ -131,3 +136,112 @@ def restore_rows_sharded(model, params, img: np.ndarray, mesh,
     mu = _sharded_windows(jax.jit(rnet_fn), [xp, ep], xp.shape[0], n,
                           halo, unit, mesh, axis)
     return mu[:h, :w]
+
+
+def sr_restore_rows_sharded(model, params, img_lr: np.ndarray, sf: int,
+                            mesh, halo: int = 64,
+                            axis: str = "data") -> np.ndarray:
+    """SISR twin of restore_rows_sharded for a VIRNetSR model.
+
+    Stage decomposition (mirrors VIRNetSR.__call__, models/virnet.py:
+    102-134, itself reference networks/VIRNet.py:80-97):
+
+    * SNet map over raw-LR strips (stride-1: free anchoring); when
+      noise_avg, the global pool is the mean of the stitched map — the
+      same values the whole-image forward pools, so only reduction
+      order differs.
+    * KNet whole-image on one device: its residual blocks contain
+      channel-attention global pools (not window-local), but it runs on
+      a stride-4 feature map, so whole-image execution is negligible.
+    * RNet over strips of the nearest-upsampled input on the
+      2^(depth-1) grid, conditioning passed compact (N,1,1,C) when
+      per-sample constant — windows of a constant map are the constant.
+
+    halo is in LR pixels for the SNet stage and in HR pixels for the
+    RNet stage (same number used for both; RNet's receptive field on
+    the upsampled grid is what matters — 64 covers the released SISR
+    archs).  Returns the (H*sf, W*sf, C) restoration.
+    """
+    from ..models.dncnn import DnCNN
+    from ..models.knet import KernelNet
+    from ..ops.upsample import nearest_upsample
+
+    unit = 2 ** (len(model.n_feat) - 1)
+    n = mesh.shape[axis]
+    x = np.asarray(img_lr, np.float32)
+    h, w = x.shape[:2]
+
+    snet = DnCNN(out_channels=model.sigma_chn, dep=model.dep_S,
+                 noise_avg=False, pad_narrow=model.pad_narrow,
+                 conv_impl=model.conv_impl)
+    rnet_mode = (model.extra_mode
+                 if (model.noise_cond or model.kernel_cond) else "null")
+    from ..models.attresunet import AttResUNet
+
+    rnet = AttResUNet(out_chn=model.im_chn, n_feat=tuple(model.n_feat),
+                      n_resblocks=model.n_resblocks, extra_mode=rnet_mode,
+                      remat=model.remat, pad_narrow=model.pad_narrow,
+                      tail_impl=model.conv_impl)
+
+    hu = int(math.ceil(h * sf / unit) * unit)
+    try:
+        plan_strips(h, n, halo, 1)
+        plan_strips(hu, n, halo, unit)
+    except ValueError:
+        mu, _k, _s = model.apply({"params": params},
+                                 jnp.asarray(x)[None], sf)
+        return np.asarray(mu[0])
+
+    # ---- SNet: strip-exact map, then the (optional) global pool
+    raw_map = _sharded_windows(
+        jax.jit(lambda xw: snet.apply({"params": params["snet"]}, xw)),
+        [x], h, n, halo, 1, mesh, axis)
+    if model.noise_avg:
+        pooled = raw_map.mean(axis=(0, 1), keepdims=True)
+        sigma = np.exp(np.clip(pooled, LOG_MIN, LOG_MAX))    # (1,1,C)
+    else:
+        sigma = np.exp(np.clip(raw_map, LOG_MIN, LOG_MAX))   # (H,W,C)
+
+    # ---- KNet: whole-image (global channel-attention pools; tiny map)
+    kinfo = np.asarray(KernelNet(out_chn=model.kernel_chn,
+                                 num_blocks=model.dep_K).apply(
+        {"params": params["knet"]}, jnp.asarray(x)[None]))[0]  # (3,)
+
+    # ---- RNet over the upsampled grid, conditioning as in __call__
+    x_up = np.asarray(nearest_upsample(jnp.asarray(x), sf))
+    compact = not model.noise_cond or model.noise_avg
+    extras = []
+    if model.kernel_cond:
+        kmap = kinfo[None, None, :].astype(np.float32)        # (1,1,3)
+        if not compact:
+            kmap = np.broadcast_to(kmap, x_up.shape[:2] + (3,))
+        extras.append(kmap)
+    if model.noise_cond:
+        s = np.sqrt(sigma).astype(np.float32)
+        extras.append(s if model.noise_avg
+                      else np.asarray(nearest_upsample(jnp.asarray(s), sf)))
+    extra = np.concatenate(extras, axis=-1) if extras else None
+
+    xp = np.asarray(pad_to_multiple(jnp.asarray(x_up), unit))
+
+    if extra is None:
+        mu = _sharded_windows(
+            jax.jit(lambda xw: rnet.apply({"params": params["rnet"]},
+                                          xw, None)),
+            [xp], xp.shape[0], n, halo, unit, mesh, axis)
+    elif extra.shape[:2] == (1, 1):
+        ej = jnp.asarray(extra)[None]                         # (1,1,1,C)
+
+        def fn(xw):
+            e = jnp.broadcast_to(ej, (xw.shape[0], 1, 1, ej.shape[-1]))
+            return rnet.apply({"params": params["rnet"]}, xw, e)
+
+        mu = _sharded_windows(jax.jit(fn), [xp], xp.shape[0], n, halo,
+                              unit, mesh, axis)
+    else:
+        ep = np.asarray(pad_to_multiple(jnp.asarray(extra), unit))
+        mu = _sharded_windows(
+            jax.jit(lambda xw, ew: rnet.apply({"params": params["rnet"]},
+                                              xw, ew)),
+            [xp, ep], xp.shape[0], n, halo, unit, mesh, axis)
+    return mu[:h * sf, :w * sf]
