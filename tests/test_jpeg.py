@@ -30,7 +30,9 @@ def _natural_image(size=128, idx=0):
 
 
 def test_quality_tables_match_libjpeg_formula():
-    for q in [1, 10, 25, 50, 75, 90, 100]:
+    # include qualities where 5000/q is NOT exact (31..49) — libjpeg's
+    # integer division must be reproduced, not float division
+    for q in [1, 10, 25, 31, 35, 42, 47, 49, 50, 75, 90, 100]:
         luma, chroma = J.quality_tables(float(q))
         scale = 5000 // q if q < 50 else 200 - 2 * q
         exp_luma = np.clip((J._LUMA_Q * scale + 50) // 100, 1, 255)

@@ -212,3 +212,23 @@ def test_synth_camera_pairs(tmp_path):
     vn2 = loadmat(out2 / "ValidationNoisyBlocksSrgb.mat")[
         "ValidationNoisyBlocksSrgb"]
     assert np.array_equal(vn, vn2) and res2["n_train"] == res["n_train"]
+
+
+def test_synth_camera_pairs_gray_and_alpha_sources(tmp_path):
+    import cv2
+
+    src = tmp_path / "mixed"
+    src.mkdir()
+    gray = np.linspace(0, 255, 64 * 64).reshape(64, 64).astype(np.uint8)
+    cv2.imwrite(str(src / "gray.png"), gray)
+    rgba = np.dstack([gray] * 3 + [np.full_like(gray, 255)])
+    cv2.imwrite(str(src / "rgba.png"), rgba)
+    res = P.synth_camera_pairs(sorted(src.glob("*.png")), tmp_path / "out",
+                               pch_size=32, patches_per_img=2,
+                               n_val_imgs=1, n_val_blocks=1, seed=1)
+    assert res["val_shape"][2:] == (32, 32, 3)
+    from scipy.io import loadmat
+
+    vn = loadmat(tmp_path / "out" / "ValidationNoisyBlocksSrgb.mat")[
+        "ValidationNoisyBlocksSrgb"]
+    assert vn.shape[-1] == 3 and vn.dtype == np.uint8

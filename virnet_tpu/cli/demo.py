@@ -54,6 +54,11 @@ def main(argv=None):
         }
         ckpt = str(Path("model_zoo") / default_names[args.task])
 
+    if args.rows_shard and args.flip:
+        raise SystemExit("--rows_shard and --flip are mutually exclusive "
+                         "(run the x8 ensemble unsharded, or shard without "
+                         "the ensemble)")
+
     if not Path(ckpt).exists():
         raise SystemExit(
             f"checkpoint not found: {ckpt}\n"

@@ -281,6 +281,10 @@ def synth_camera_pairs(im_paths: Sequence, out_dir, pch_size: int = 256,
     val_noisy, val_gt = [], []
     for idx, path in enumerate(im_paths):
         gt_u8 = imread(path, chn="bgr", dtype="uint8")
+        if gt_u8.ndim == 2:          # grayscale source -> 3-channel scene
+            gt_u8 = np.stack([gt_u8] * 3, axis=2)
+        elif gt_u8.shape[2] == 4:    # drop alpha: the layout is (..., 3)
+            gt_u8 = gt_u8[:, :, :3]
         h, w = gt_u8.shape[:2]
         if h < pch_size or w < pch_size:
             continue

@@ -107,7 +107,13 @@ def synthesize_sisr_batch(key: jax.Array, im_hr: jnp.ndarray, sf: int,
     reference does.
     """
     batch = im_hr.shape[0]
-    k_ker, k_nl, k_noise, k_type, k_qf, k_nlj = jax.random.split(key, 6)
+    if add_jpeg:
+        k_ker, k_nl, k_noise, k_type, k_qf, k_nlj = jax.random.split(key, 6)
+    else:
+        # preserve the pre-jpeg RNG stream: Gaussian-only runs draw the
+        # same kernels/noise for a given (seed, epoch, step) as before
+        # the JPEG branch existed
+        k_ker, k_nl, k_noise = jax.random.split(key, 3)
 
     cov, kinfo = sample_kernel_params(k_ker, batch, sf)
     # torch-convention kernel transposed == numpy/data-convention kernel

@@ -98,7 +98,7 @@ class Restorer:
         return jnp.clip(self._forward(self.params, x), 0.0, 1.0)
 
     def restore_image_sharded(self, im: np.ndarray, mesh=None,
-                              halo: int = 128) -> np.ndarray:
+                              halo: int = 160) -> np.ndarray:
         """Restore one huge image with its rows sharded across the device
         mesh (eval/spatial.py) — matches restore_image's raw forward to
         float reduction-order tolerance (denoising: bitwise; SISR: the

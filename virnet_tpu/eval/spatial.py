@@ -43,6 +43,7 @@ grid with the per-sample-constant conditioning passed compact.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -51,6 +52,24 @@ import numpy as np
 
 from ..models.virnet import LOG_MAX, LOG_MIN
 from ..ops.pad import pad_to_multiple
+from ..precision import compute_dtype
+
+
+def _cached_by_model(builder):
+    """lru_cache a per-model jitted-stage factory, falling back to an
+    uncached build when the module isn't hashable (e.g. list fields).
+    Caching keeps jit's trace cache warm across restore calls — without
+    it every image recompiles every stage."""
+    cached = functools.lru_cache(maxsize=None)(builder)
+
+    @functools.wraps(builder)
+    def get(model):
+        try:
+            return cached(model)
+        except TypeError:
+            return builder(model)
+
+    return get
 
 
 def plan_strips(height: int, n: int, halo: int, unit: int):
@@ -95,14 +114,35 @@ def _sharded_windows(fn, planes, h_total, n, halo, unit, mesh, axis):
     return out
 
 
+@_cached_by_model
+def _denoise_stage_fns(model):
+    """Jitted (snet, rnet) stage functions taking params explicitly, so
+    the trace cache survives across calls.  compute_dtype(None) mirrors
+    the engine's fp32-exact eval forward (eval/engine.py:_build_forward)."""
+    def snet(params, xw):
+        with compute_dtype(None):
+            s = model.apply({"params": params}, xw,
+                            method=lambda m, v: m.SNet(v))
+        return jnp.exp(jnp.clip(s, LOG_MIN, LOG_MAX))
+
+    def rnet(params, xw, ew):
+        with compute_dtype(None):
+            return model.apply({"params": params}, xw, ew,
+                               method=lambda m, v, e: m.RNet(v, e))
+
+    return jax.jit(snet), jax.jit(rnet)
+
+
 def restore_rows_sharded(model, params, img: np.ndarray, mesh,
-                         halo: int = 128, axis: str = "data") -> np.ndarray:
+                         halo: int = 160, axis: str = "data") -> np.ndarray:
     """Restore one HWC image with its rows sharded across ``mesh``.
 
     model/params: a denoising VIRNet (models/virnet.py) and its params.
     halo: overlap rows on each side of a strip; must cover the network
-        receptive field for exactness (128 covers the released denoise
-        archs with margin).
+        receptive field for exactness.  The default 160 covers the
+        released denoise archs — the deepest (denoising-real, depth-4
+        RNet with 3 resblocks per scale) has a one-sided receptive
+        field of ~141 rows.
 
     Returns the restored HWC float32 image (mu).  Falls back to the
     plain whole-image forward when the image is too short to shard.
@@ -111,31 +151,70 @@ def restore_rows_sharded(model, params, img: np.ndarray, mesh,
     n = mesh.shape[axis]
     x = np.asarray(img, np.float32)
     h, w = x.shape[:2]
-
-    def snet_fn(xw):
-        s = model.apply({"params": params}, xw,
-                        method=lambda m, v: m.SNet(v))
-        return jnp.exp(jnp.clip(s, LOG_MIN, LOG_MAX))
-
-    def rnet_fn(xw, ew):
-        return model.apply({"params": params}, xw, ew,
-                           method=lambda m, v, e: m.RNet(v, e))
+    snet_fn, rnet_fn = _denoise_stage_fns(model)
 
     h1 = int(math.ceil(h / unit) * unit)
     try:                       # shardability check only — fail fast here
         plan_strips(h, n, halo, 1)
         plan_strips(h1, n, halo, unit)
     except ValueError:
-        mu, _sigma = model.apply({"params": params}, jnp.asarray(x)[None])
+        with compute_dtype(None):
+            mu, _sigma = model.apply({"params": params},
+                                     jnp.asarray(x)[None])
         return np.asarray(mu[0])[:h, :w]
 
-    sigma = _sharded_windows(jax.jit(snet_fn), [x], h, n, halo,
-                             1, mesh, axis)
+    sigma = _sharded_windows(functools.partial(snet_fn, params), [x], h, n,
+                             halo, 1, mesh, axis)
     xp = np.asarray(pad_to_multiple(jnp.asarray(x), unit))
     ep = np.asarray(pad_to_multiple(jnp.asarray(np.sqrt(sigma)), unit))
-    mu = _sharded_windows(jax.jit(rnet_fn), [xp, ep], xp.shape[0], n,
-                          halo, unit, mesh, axis)
+    mu = _sharded_windows(functools.partial(rnet_fn, params), [xp, ep],
+                          xp.shape[0], n, halo, unit, mesh, axis)
     return mu[:h, :w]
+
+
+@_cached_by_model
+def _sr_stage_fns(model):
+    """Jitted SISR stage functions (params passed explicitly; fp32-exact
+    compute like the engine's eval forward).
+
+    KNet and RNet run as bound submodules of the model itself, so their
+    hyperparameters can never drift from VIRNetSR.setup.  Only SNet
+    needs a reconstructed twin: the noise_avg pool lives inside
+    DnCNN.__call__, and the strip stage needs the pre-pool map (the
+    twin shares the exact param subtree; the pool has no params)."""
+    from ..models.dncnn import DnCNN
+
+    snet_twin = DnCNN(out_channels=model.sigma_chn, dep=model.dep_S,
+                      noise_avg=False, pad_narrow=model.pad_narrow,
+                      conv_impl=model.conv_impl)
+
+    def snet_map(params, xw):
+        with compute_dtype(None):
+            return snet_twin.apply({"params": params["snet"]}, xw)
+
+    def knet(params, x):
+        with compute_dtype(None):
+            return model.apply({"params": params}, x,
+                               method=lambda m, v: m.KNet(v))
+
+    def rnet(params, xw, ew):
+        with compute_dtype(None):
+            return model.apply({"params": params}, xw, ew,
+                               method=lambda m, v, e: m.RNet(v, e))
+
+    def rnet_compact(params, xw, e11):
+        e = jnp.broadcast_to(e11, (xw.shape[0], 1, 1, e11.shape[-1]))
+        with compute_dtype(None):
+            return model.apply({"params": params}, xw, e,
+                               method=lambda m, v, ee: m.RNet(v, ee))
+
+    def rnet_null(params, xw):
+        with compute_dtype(None):
+            return model.apply({"params": params}, xw, None,
+                               method=lambda m, v, e: m.RNet(v, e))
+
+    return (jax.jit(snet_map), jax.jit(knet), jax.jit(rnet),
+            jax.jit(rnet_compact), jax.jit(rnet_null))
 
 
 def sr_restore_rows_sharded(model, params, img_lr: np.ndarray, sf: int,
@@ -162,40 +241,27 @@ def sr_restore_rows_sharded(model, params, img_lr: np.ndarray, sf: int,
     the upsampled grid is what matters — 64 covers the released SISR
     archs).  Returns the (H*sf, W*sf, C) restoration.
     """
-    from ..models.dncnn import DnCNN
-    from ..models.knet import KernelNet
     from ..ops.upsample import nearest_upsample
 
     unit = 2 ** (len(model.n_feat) - 1)
     n = mesh.shape[axis]
     x = np.asarray(img_lr, np.float32)
     h, w = x.shape[:2]
-
-    snet = DnCNN(out_channels=model.sigma_chn, dep=model.dep_S,
-                 noise_avg=False, pad_narrow=model.pad_narrow,
-                 conv_impl=model.conv_impl)
-    rnet_mode = (model.extra_mode
-                 if (model.noise_cond or model.kernel_cond) else "null")
-    from ..models.attresunet import AttResUNet
-
-    rnet = AttResUNet(out_chn=model.im_chn, n_feat=tuple(model.n_feat),
-                      n_resblocks=model.n_resblocks, extra_mode=rnet_mode,
-                      remat=model.remat, pad_narrow=model.pad_narrow,
-                      tail_impl=model.conv_impl)
+    snet_map, knet, rnet, rnet_compact, rnet_null = _sr_stage_fns(model)
 
     hu = int(math.ceil(h * sf / unit) * unit)
     try:
         plan_strips(h, n, halo, 1)
         plan_strips(hu, n, halo, unit)
     except ValueError:
-        mu, _k, _s = model.apply({"params": params},
-                                 jnp.asarray(x)[None], sf)
+        with compute_dtype(None):
+            mu, _k, _s = model.apply({"params": params},
+                                     jnp.asarray(x)[None], sf)
         return np.asarray(mu[0])
 
     # ---- SNet: strip-exact map, then the (optional) global pool
-    raw_map = _sharded_windows(
-        jax.jit(lambda xw: snet.apply({"params": params["snet"]}, xw)),
-        [x], h, n, halo, 1, mesh, axis)
+    raw_map = _sharded_windows(functools.partial(snet_map, params),
+                               [x], h, n, halo, 1, mesh, axis)
     if model.noise_avg:
         pooled = raw_map.mean(axis=(0, 1), keepdims=True)
         sigma = np.exp(np.clip(pooled, LOG_MIN, LOG_MAX))    # (1,1,C)
@@ -203,9 +269,7 @@ def sr_restore_rows_sharded(model, params, img_lr: np.ndarray, sf: int,
         sigma = np.exp(np.clip(raw_map, LOG_MIN, LOG_MAX))   # (H,W,C)
 
     # ---- KNet: whole-image (global channel-attention pools; tiny map)
-    kinfo = np.asarray(KernelNet(out_chn=model.kernel_chn,
-                                 num_blocks=model.dep_K).apply(
-        {"params": params["knet"]}, jnp.asarray(x)[None]))[0]  # (3,)
+    kinfo = np.asarray(knet(params, jnp.asarray(x)[None]))[0]  # (3,)
 
     # ---- RNet over the upsampled grid, conditioning as in __call__
     x_up = np.asarray(nearest_upsample(jnp.asarray(x), sf))
@@ -225,23 +289,15 @@ def sr_restore_rows_sharded(model, params, img_lr: np.ndarray, sf: int,
     xp = np.asarray(pad_to_multiple(jnp.asarray(x_up), unit))
 
     if extra is None:
-        mu = _sharded_windows(
-            jax.jit(lambda xw: rnet.apply({"params": params["rnet"]},
-                                          xw, None)),
-            [xp], xp.shape[0], n, halo, unit, mesh, axis)
+        mu = _sharded_windows(functools.partial(rnet_null, params),
+                              [xp], xp.shape[0], n, halo, unit, mesh, axis)
     elif extra.shape[:2] == (1, 1):
         ej = jnp.asarray(extra)[None]                         # (1,1,1,C)
-
-        def fn(xw):
-            e = jnp.broadcast_to(ej, (xw.shape[0], 1, 1, ej.shape[-1]))
-            return rnet.apply({"params": params["rnet"]}, xw, e)
-
-        mu = _sharded_windows(jax.jit(fn), [xp], xp.shape[0], n, halo,
-                              unit, mesh, axis)
+        mu = _sharded_windows(
+            lambda xw: rnet_compact(params, xw, ej),
+            [xp], xp.shape[0], n, halo, unit, mesh, axis)
     else:
         ep = np.asarray(pad_to_multiple(jnp.asarray(extra), unit))
-        mu = _sharded_windows(
-            jax.jit(lambda xw, ew: rnet.apply({"params": params["rnet"]},
-                                              xw, ew)),
-            [xp, ep], xp.shape[0], n, halo, unit, mesh, axis)
+        mu = _sharded_windows(functools.partial(rnet, params), [xp, ep],
+                              xp.shape[0], n, halo, unit, mesh, axis)
     return mu[:h * sf, :w * sf]

@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+from jax import lax
 
 # ITU-T T.81 Annex K base quantization tables (row-major 8x8).
 _LUMA_Q = np.array([
@@ -74,7 +75,9 @@ def quality_tables(quality):
     tables shaped like quality + (8, 8).
     """
     q = jnp.clip(jnp.asarray(quality, jnp.float32), 1.0, 100.0)
-    scale = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)
+    # libjpeg computes 5000 / quality in INTEGER arithmetic — floor it,
+    # or table entries are off by one for most of the 31..49 range
+    scale = jnp.where(q < 50.0, jnp.floor(5000.0 / q), 200.0 - 2.0 * q)
     scale = scale[..., None, None]
 
     def build(base):
@@ -134,11 +137,15 @@ def _quantize_plane(plane, table):
     """
     d = jnp.asarray(_DCT)
     blocks = _blockify(plane - 128.0)
-    coef = jnp.einsum("ij,...jk,lk->...il", d, blocks, d)
+    # HIGHEST precision regardless of the repo policy: this is a codec —
+    # DCT coefficients reach ~1000, and a bf16 MXU pass would flip
+    # quantization bins (the CPU-run parity tests cannot see that)
+    hi = lax.Precision.HIGHEST
+    coef = jnp.einsum("ij,...jk,lk->...il", d, blocks, d, precision=hi)
     if table.ndim > 2:       # per-sample (N,8,8) vs blocks (N,nh,nw,8,8)
         table = table[..., None, None, :, :]
     coef = jnp.round(coef / table) * table
-    out = jnp.einsum("ji,...jk,kl->...il", d, coef, d)
+    out = jnp.einsum("ji,...jk,kl->...il", d, coef, d, precision=hi)
     return _unblockify(out) + 128.0
 
 
