@@ -140,9 +140,10 @@ def restore_rows_sharded(model, params, img: np.ndarray, mesh,
     model/params: a denoising VIRNet (models/virnet.py) and its params.
     halo: overlap rows on each side of a strip; must cover the network
         receptive field for exactness.  The default 160 covers the
-        released denoise archs — the deepest (denoising-real, depth-4
-        RNet with 3 resblocks per scale) has a one-sided receptive
-        field of ~141 rows.
+        released denoise archs: measured one-sided receptive fields
+        (last-row perturbation, influence > 1e-7) are 147 rows for
+        denoising-real (depth-4 RNet, 3 resblocks/scale) and 71 for
+        denoising-syn.
 
     Returns the restored HWC float32 image (mu).  Falls back to the
     plain whole-image forward when the image is too short to shard.
@@ -238,8 +239,9 @@ def sr_restore_rows_sharded(model, params, img_lr: np.ndarray, sf: int,
 
     halo is in LR pixels for the SNet stage and in HR pixels for the
     RNet stage (same number used for both; RNet's receptive field on
-    the upsampled grid is what matters — 64 covers the released SISR
-    archs).  Returns the (H*sf, W*sf, C) restoration.
+    the upsampled grid is what matters — measured 43 rows for the
+    released SISR arch, so the default 64 covers it).  Returns the
+    (H*sf, W*sf, C) restoration.
     """
     from ..ops.upsample import nearest_upsample
 
