@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--save_dir", type=str, default="")
     p.add_argument("--data_root", type=str,
                    default="/root/reference/test_data")
+    p.add_argument("--pad_multiple", type=int, default=0,
+                   help="0 (default) = reference-exact raw forwards; >0 "
+                        "reflect-pads to size buckets (fewer recompiles "
+                        "on mixed-size sets, small edge drift — see "
+                        "eval/engine.py)")
     args = p.parse_args(argv)
 
     log_path = (Path(args.save_dir) / f"denoise_{args.noise_type}.log"
@@ -35,7 +40,8 @@ def main(argv=None):
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     logger = make_log(log_path)
 
-    restorer = Restorer("denoising-syn", ckpt_path=args.ckpt_path)
+    restorer = Restorer("denoising-syn", ckpt_path=args.ckpt_path,
+                        pad_multiple=args.pad_multiple)
 
     # model analysis (reference logs thop params/FLOPs at 256^2 and 512^2)
     import jax.numpy as jnp

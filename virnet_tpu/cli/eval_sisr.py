@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("--downsampler", type=str, default="bicubic")
     p.add_argument("--lpips", type=str, default="auto",
                    choices=["auto", "on", "off"])
+    p.add_argument("--pad_multiple", type=int, default=0,
+                   help="0 (default) = reference-exact raw forwards; "
+                        ">0 reflect-pads to size buckets (fewer "
+                        "recompiles on mixed-size sets, small edge "
+                        "drift — see eval/engine.py)")
     p.add_argument("--batch_size", type=int, default=8,
                    help="images per forward within an LR-shape group")
     args = p.parse_args(argv)
@@ -45,7 +50,8 @@ def main(argv=None):
                       / f"sisr_sf{args.sf}_nl{nl_str}.log"
                       if args.save_dir else None)
 
-    restorer = Restorer("sisr", ckpt_path=ckpt, sf=args.sf)
+    restorer = Restorer("sisr", ckpt_path=ckpt, sf=args.sf,
+                        pad_multiple=args.pad_multiple)
 
     import jax.numpy as jnp
     n_params = calculate_parameters(restorer.params) / 1000 ** 2
