@@ -80,3 +80,20 @@ def test_sisr_batched_equals_single(tmp_path):
         assert abs(k1["psnr"] - k4["psnr"]) < 1e-9
         assert abs(k1["ssim"] - k4["ssim"]) < 1e-12
     assert abs(r1["tiny"]["psnr"] - r4["tiny"]["psnr"]) < 1e-9
+
+
+def test_remainder_batch_padding_scores_identical(setup):
+    """Groups larger than batch_size pad their remainder sub-batch by
+    repeating the last image (one compile per group size); scores must
+    equal the unbatched run exactly."""
+    from virnet_tpu.eval.tables import eval_denoise_synthetic
+
+    d, restorer = setup
+    # 3 same-shape images, batch_size=2 -> groups of 2 + remainder 1
+    r1 = eval_denoise_synthetic(restorer, {"tiny": str(d)}, "iid",
+                                batch_size=1, log_fn=lambda *a: None)
+    r2 = eval_denoise_synthetic(restorer, {"tiny": str(d)}, "iid",
+                                batch_size=2, log_fn=lambda *a: None)
+    for case in r1["tiny"]:
+        assert (r1["tiny"][case]["psnr_per_image"]
+                == r2["tiny"][case]["psnr_per_image"])

@@ -75,6 +75,13 @@ def eval_denoise_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
                 for s in range(0, len(group), batch_size):
                     sub = group[s:s + batch_size]
                     x = np.stack([g[2] for g in sub])
+                    if len(sub) < batch_size and len(group) > batch_size:
+                        # pad the remainder batch by repeating the last
+                        # image so the shape compiles once per group size
+                        # rather than once per remainder (outputs of the
+                        # repeats are dropped below)
+                        reps = np.repeat(x[-1:], batch_size - len(sub), 0)
+                        x = np.concatenate([x, reps])
                     if hb != h or wb != w:
                         x = np.pad(x, ((0, 0), (0, hb - h), (0, wb - w),
                                        (0, 0)), mode="reflect")
@@ -205,6 +212,11 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
                                mode="reflect")
                         if g[2].shape[:2] != (hb, wb) else g[2]
                         for g in sub])
+                    if len(sub) < batch_size and len(group) > batch_size:
+                        # repeat-last pad: one compile per group size, not
+                        # per remainder (repeat outputs dropped below)
+                        x = np.concatenate(
+                            [x, np.repeat(x[-1:], batch_size - len(sub), 0)])
                     out = np.asarray(restorer.restore_batch(jnp.asarray(x)))
                     for (name, im_gt, lr), o in zip(sub, out):
                         h, w = lr.shape[:2]
