@@ -138,3 +138,18 @@ def test_conv_transpose_lax_variant_matches_einsum():
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=get_precision()) + jnp.asarray(b))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv_transpose_impl_env_flag(monkeypatch):
+    """VIRNET_TPU_CONVT_IMPL=lax routes conv_transpose_2x2 through the
+    lax.conv_transpose formulation with identical results."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 4)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 2, 4, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+
+    monkeypatch.delenv("VIRNET_TPU_CONVT_IMPL", raising=False)
+    want = np.asarray(U.conv_transpose_2x2(x, k, b))
+    monkeypatch.setenv("VIRNET_TPU_CONVT_IMPL", "lax")
+    got = np.asarray(U.conv_transpose_2x2(x, k, b))
+    np.testing.assert_allclose(got, want, atol=1e-5)

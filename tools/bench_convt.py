@@ -79,13 +79,14 @@ def make_timer(batch, name):
 
 
 def main():
+    import os
+
     variants = {}
-    orig = att.conv_transpose_2x2
-    att.conv_transpose_2x2 = orig
+    os.environ["VIRNET_TPU_CONVT_IMPL"] = "einsum"
     variants["einsum_b32"] = make_timer(32, "einsum_b32")
-    att.conv_transpose_2x2 = convt_lax
+    os.environ["VIRNET_TPU_CONVT_IMPL"] = "lax"
     variants["convt_b32"] = make_timer(32, "convt_b32")
-    att.conv_transpose_2x2 = orig
+    os.environ["VIRNET_TPU_CONVT_IMPL"] = "einsum"
 
     res = {k: [] for k in variants}
     for rep in range(3):

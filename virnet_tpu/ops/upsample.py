@@ -12,7 +12,10 @@ torch-semantics parity notes:
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+from jax import lax
 
 from ..precision import get_precision
 
@@ -52,11 +55,31 @@ def conv_transpose_2x2(x: jnp.ndarray, kernel: jnp.ndarray,
     Returns:
         (N, 2H, 2W, O); out[n, 2i+a, 2j+b, o] = sum_c x[n,i,j,c] K[a,b,c,o].
     """
+    if os.environ.get("VIRNET_TPU_CONVT_IMPL", "einsum") == "lax":
+        return _conv_transpose_2x2_lax(x, kernel, bias)
     n, h, w, c = x.shape
     o = kernel.shape[-1]
     y = jnp.einsum("nhwc,abco->nhawbo", x, kernel,
                    precision=get_precision())
     y = y.reshape(n, 2 * h, 2 * w, o)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _conv_transpose_2x2_lax(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Same op through XLA's grad-conv emitter: ``lax.conv_transpose`` on
+    the spatially-flipped kernel (bit-equivalence pinned by
+    tests/test_degrade_ops.py::test_conv_transpose_lax_variant_matches_einsum).
+    Selected with VIRNET_TPU_CONVT_IMPL=lax — the einsum form materializes
+    an (h,w,a,b)->(h,a,w,b) transpose copy (~2.2 ms/apply in the round-3
+    flagship profile) that this formulation avoids; tools/bench_convt.py
+    A/Bs the two on chip."""
+    y = lax.conv_transpose(x, kernel[::-1, ::-1], strides=(2, 2),
+                           padding="VALID",
+                           dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                           precision=get_precision())
     if bias is not None:
         y = y + bias
     return y
