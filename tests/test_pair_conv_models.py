@@ -31,6 +31,33 @@ def test_dncnn_pair_matches_xla(w):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+@pytest.mark.parametrize("dep,avg", [(5, False), (4, True), (2, False)])
+def test_dncnn_scan_matches_xla(dep, avg):
+    """conv_impl='scan' (mid convs as one lax.scan over stacked weights,
+    models/dncnn.py:_scan_stack) shares the param tree with the XLA branch
+    and matches it numerically; dep=2 exercises the no-mid-convs edge."""
+    x = jnp.asarray(np.random.default_rng(2)
+                    .random((2, 9, 12, 3)).astype(np.float32))
+    ref = DnCNN(out_channels=1, dep=dep, num_filters=8, noise_avg=avg)
+    scn = DnCNN(out_channels=1, dep=dep, num_filters=8, noise_avg=avg,
+                conv_impl="scan")
+    params = _params_for(ref, (1, 8, 8, 3))
+    sparams = _params_for(scn, (1, 8, 8, 3))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(sparams))
+    want = ref.apply({"params": params}, x)
+    got = scn.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # gradients flow through the scanned stack to every layer's params
+    def loss(p):
+        return jnp.sum(scn.apply({"params": p}, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for name, g in jax.tree_util.tree_leaves_with_path(grads):
+        assert float(jnp.abs(g).max()) > 0.0, name
+
+
 def test_dncnn_pair_noise_avg_and_3out():
     x = jnp.asarray(np.random.default_rng(1)
                     .random((1, 10, 14, 3)).astype(np.float32))

@@ -123,6 +123,10 @@ def resolve_conv_impl(impl: str) -> str:
     if (os.environ.get("VIRNET_TPU_PALLAS_CONV")
             and _jax.default_backend() == "tpu"):
         return "pair"
+    if os.environ.get("VIRNET_TPU_SNET_SCAN"):
+        # SNet mid convs as one lax.scan over stacked weights (one XLA
+        # tiling decision for the identical convs — models/dncnn.py)
+        return "scan"
     return "xla"
 
 
