@@ -129,3 +129,26 @@ def test_dncnn_fused_dep8_3out():
     np.testing.assert_allclose(
         np.asarray(par.apply({"params": params}, x)),
         np.asarray(ref.apply({"params": params}, x)), atol=5e-5)
+
+
+def test_trainer_scan_impl_matches_xla(monkeypatch):
+    """VIRNET_TPU_SNET_SCAN=1 reaches the TRAINING graph via
+    train_conv_impl (train/loop_denoise.py) with the same loss."""
+    from virnet_tpu.train.loop_denoise import (DenoiseTrainConfig,
+                                               DenoiseTrainer)
+
+    def step_loss():
+        cfg = DenoiseTrainConfig(
+            sigma_chn=1, dep_S=4, n_feat=(8, 16), n_resblocks=1,
+            batch_size=8, patch_size=32, epochs=1, warmup_epochs=1,
+            steps_per_epoch=2, save_dir="/tmp/virnet_scan_impl_test")
+        tr = DenoiseTrainer(cfg)
+        batch = jnp.asarray(np.random.default_rng(3).random(
+            (8, 32, 32, 3), dtype=np.float32))
+        return float(tr.run_step(batch, epoch=0)["loss"])
+
+    monkeypatch.delenv("VIRNET_TPU_SNET_SCAN", raising=False)
+    want = step_loss()
+    monkeypatch.setenv("VIRNET_TPU_SNET_SCAN", "1")
+    got = step_loss()
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -130,6 +130,14 @@ def resolve_conv_impl(impl: str) -> str:
     return "xla"
 
 
+def train_conv_impl() -> str:
+    """conv_impl for TRAINING graphs: same env opt-ins as
+    resolve_conv_impl('auto'), except the Pallas pixel-pair kernels are
+    forward-only (ops/pallas_conv.py has no VJP) and fall back to 'xla'."""
+    impl = resolve_conv_impl("auto")
+    return "xla" if impl.startswith("pair") else impl
+
+
 class PadOutConv(nn.Module):
     """3x3 conv whose few-output-channel head is computed at a wider,
     MXU-friendly output width and sliced back — bit-exact (the pad channels

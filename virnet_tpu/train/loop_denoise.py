@@ -27,6 +27,7 @@ import optax
 from ..data.denoise_synth import synthesize_noisy_batch
 from ..losses import elbo_denoising
 from ..models import VIRNet
+from ..models.common import train_conv_impl as _train_conv_impl
 from ..ops.degrade import noise_estimate
 from ..precision import compute_dtype, precision
 from .checkpoint import CheckpointManager
@@ -84,7 +85,7 @@ class DenoiseTrainer:
             im_chn=cfg.im_chn, sigma_chn=cfg.sigma_chn, n_feat=cfg.n_feat,
             dep_S=cfg.dep_S, n_resblocks=cfg.n_resblocks,
             noise_cond=cfg.noise_cond, extra_mode=cfg.extra_mode,
-            noise_avg=False)
+            noise_avg=False, conv_impl=_train_conv_impl())
 
         self.tx, self.schedule = build_optimizer(
             cfg.lr, cfg.lr_min, cfg.epochs, cfg.warmup_epochs,

@@ -24,6 +24,7 @@ import optax
 from ..data.sisr_synth import synthesize_sisr_batch
 from ..losses import elbo_sisr
 from ..models import VIRNetSR
+from ..models.common import train_conv_impl as _train_conv_impl
 from ..precision import compute_dtype, precision
 from .checkpoint import CheckpointManager
 from .mesh import make_mesh, replicate, shard_batch
@@ -94,7 +95,8 @@ class SISRTrainer:
             kernel_chn=cfg.kernel_chn, n_feat=cfg.n_feat, dep_S=cfg.dep_S,
             dep_K=cfg.dep_K, noise_cond=cfg.noise_cond,
             kernel_cond=cfg.kernel_cond, n_resblocks=cfg.n_resblocks,
-            extra_mode=cfg.extra_mode, noise_avg=True)
+            extra_mode=cfg.extra_mode, noise_avg=True,
+            conv_impl=_train_conv_impl())
 
         self.tx, self.schedule = build_optimizer(
             cfg.lr, cfg.lr_min, cfg.epochs, cfg.warmup_epochs,
