@@ -144,3 +144,29 @@ def test_default_exact_mode_matches_raw_forward():
         sf = r.sf
         raw = np.asarray(r.restore_batch(jnp.asarray(im[None]))[0])
         np.testing.assert_allclose(out, raw[:37 * sf, :53 * sf], atol=1e-6)
+
+
+def test_compute_bf16_mode():
+    """Restorer(compute='bf16') — the deployment fast path — returns
+    fp32 output close to the fp32-exact forward on trained demo weights
+    (random-weight nets amplify dtype noise chaotically, so use the
+    bundled checkpoint), and rejects unknown modes."""
+    from pathlib import Path
+
+    ckpt = Path("model_zoo/virnet_denoising_syn_demo.pth")
+    if not ckpt.exists():
+        pytest.skip("demo checkpoint not bundled")
+    r32 = Restorer("denoising-syn", ckpt_path=str(ckpt))
+    r16 = Restorer("denoising-syn", ckpt_path=str(ckpt), compute="bf16")
+    rng = np.random.default_rng(5)
+    im = np.clip(rng.random((96, 80, 3)) + rng.normal(0, 0.05, (96, 80, 3)),
+                 0, 1).astype(np.float32)
+    a = r32.restore_image(im)
+    b = r16.restore_image(im)
+    assert b.dtype == np.float32
+    # agreement: bf16 has ~3 decimal digits; restored images should agree
+    # to ~1% absolute everywhere
+    assert float(np.abs(a - b).max()) < 0.02, float(np.abs(a - b).max())
+
+    with pytest.raises(ValueError):
+        Restorer("denoising-syn", ckpt_path=str(ckpt), compute="fp16")

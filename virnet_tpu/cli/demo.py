@@ -39,6 +39,10 @@ def main(argv=None):
                         help="shard each image's rows across the whole "
                              "device mesh (huge images; matches the "
                              "plain forward)")
+    parser.add_argument("--compute", type=str, default="fp32",
+                        choices=["fp32", "bf16"],
+                        help="fp32 (default) = checkpoint-faithful; "
+                             "bf16 = deployment fast path")
     args = parser.parse_args(argv)
 
     from ..eval.engine import Restorer
@@ -64,7 +68,8 @@ def main(argv=None):
             f"checkpoint not found: {ckpt}\n"
             "pass --ckpt_path pointing at a reference .pth or a trainer "
             "save_dir (orbax)")
-    restorer = Restorer(args.task, ckpt_path=ckpt, sf=args.sf)
+    restorer = Restorer(args.task, ckpt_path=ckpt, sf=args.sf,
+                        compute=args.compute)
 
     out_dir = Path(args.out_path)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -32,6 +32,10 @@ def main(argv=None):
                         "reflect-pads to size buckets (fewer recompiles "
                         "on mixed-size sets, small edge drift — see "
                         "eval/engine.py)")
+    p.add_argument("--compute", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="fp32 (default) = checkpoint-faithful parity "
+                        "eval; bf16 = deployment fast path")
     args = p.parse_args(argv)
 
     log_path = (Path(args.save_dir) / f"denoise_{args.noise_type}.log"
@@ -41,7 +45,8 @@ def main(argv=None):
     logger = make_log(log_path)
 
     restorer = Restorer("denoising-syn", ckpt_path=args.ckpt_path,
-                        pad_multiple=args.pad_multiple)
+                        pad_multiple=args.pad_multiple,
+                        compute=args.compute)
 
     # model analysis (reference logs thop params/FLOPs at 256^2 and 512^2)
     import jax.numpy as jnp

@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--device_metrics", action="store_true",
                    help="score PSNR/SSIM on device (matches the host "
                         "protocol scorer within ~1e-3 dB; much faster)")
+    p.add_argument("--compute", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="fp32 (default) = checkpoint-faithful parity "
+                        "eval; bf16 = deployment fast path (MXU-"
+                        "native passes, small dB drift)")
     p.add_argument("--save_dir", type=str, default="")
     args = p.parse_args(argv)
 
@@ -52,7 +57,8 @@ def main(argv=None):
     logger = make_log(Path(args.save_dir) / f"sidd_{test_str}_{flip_str}.log"
                       if args.save_dir else None)
 
-    restorer = Restorer("denoising-real", ckpt_path=args.ckpt_path)
+    restorer = Restorer("denoising-real", ckpt_path=args.ckpt_path,
+                        compute=args.compute)
     n_params = calculate_parameters(restorer.params) / 1000 ** 2
     logger.info(f"Number of parameters: {n_params:.2f}M")
     flops = calculate_flops(

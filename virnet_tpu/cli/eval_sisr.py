@@ -38,6 +38,10 @@ def main(argv=None):
                         "drift — see eval/engine.py)")
     p.add_argument("--batch_size", type=int, default=8,
                    help="images per forward within an LR-shape group")
+    p.add_argument("--compute", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="fp32 (default) = checkpoint-faithful parity "
+                        "eval; bf16 = deployment fast path")
     args = p.parse_args(argv)
 
     ckpt = args.ckpt_path or str(Path("model_zoo")
@@ -51,7 +55,8 @@ def main(argv=None):
                       if args.save_dir else None)
 
     restorer = Restorer("sisr", ckpt_path=ckpt, sf=args.sf,
-                        pad_multiple=args.pad_multiple)
+                        pad_multiple=args.pad_multiple,
+                        compute=args.compute)
 
     import jax.numpy as jnp
     n_params = calculate_parameters(restorer.params) / 1000 ** 2

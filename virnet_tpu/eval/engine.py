@@ -26,7 +26,7 @@ class Restorer:
 
     def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
                  pad_multiple: int = 0, gray_mean: bool = False,
-                 **model_overrides):
+                 compute: str = "fp32", **model_overrides):
         # pad_multiple=0 (default) feeds the model the RAW image — the
         # reference's exact semantics (the model reflect-pads internally
         # to 2^(depth-1); SNet/KNet and the SISR global pools see the
@@ -39,6 +39,15 @@ class Restorer:
         # gray_mean=False saves the 3-channel restoration for gray inputs,
         # matching the reference (scripts/testing_demo.py:83-97); True
         # averages back to single-channel.
+        # compute='fp32' (default) evaluates with fp32 activations at
+        # Precision.HIGHEST — the checkpoint-faithful parity path.
+        # compute='bf16' is the deployment fast path: bf16 activations on
+        # the MXU's native passes (outputs returned as fp32); accuracy
+        # drift vs fp32 is small but above the ±0.01 dB parity bar, so
+        # it is opt-in (--compute bf16 on the eval CLIs).
+        if compute not in ("fp32", "bf16"):
+            raise ValueError(f"compute must be fp32|bf16, got {compute!r}")
+        self.compute = compute
         self.gray_mean = gray_mean
         self.task = task
         self.sf = sf if task == "sisr" else 1
@@ -76,21 +85,36 @@ class Restorer:
         return load_torch_checkpoint(ckpt_path, self.model)["params"]
 
     def _build_forward(self):
+        from contextlib import ExitStack
+
+        from ..precision import precision as precision_ctx
+
         model = self.model
+        bf16 = self.compute == "bf16"
+
+        def ctx(stack: ExitStack):
+            if bf16:
+                stack.enter_context(precision_ctx("default"))
+                stack.enter_context(compute_dtype(jnp.bfloat16))
+            else:
+                stack.enter_context(compute_dtype(None))  # fp32-exact
+
         if self.task == "sisr":
             sf = self.sf
 
             @jax.jit
             def fwd(params, x):
-                with compute_dtype(None):      # fp32-exact parity eval
+                with ExitStack() as stack:
+                    ctx(stack)
                     mu, kinfo, sigma = model.apply({"params": params}, x, sf)
-                return mu
+                return mu.astype(jnp.float32)
         else:
             @jax.jit
             def fwd(params, x):
-                with compute_dtype(None):
+                with ExitStack() as stack:
+                    ctx(stack)
                     mu, sigma = model.apply({"params": params}, x)
-                return mu
+                return mu.astype(jnp.float32)
         return fwd
 
     def restore_batch(self, x: jnp.ndarray) -> jnp.ndarray:
