@@ -141,15 +141,19 @@ def test_conv_transpose_lax_variant_matches_einsum():
 
 
 def test_conv_transpose_impl_env_flag(monkeypatch):
-    """VIRNET_TPU_CONVT_IMPL=lax routes conv_transpose_2x2 through the
-    lax.conv_transpose formulation with identical results."""
+    """The two conv_transpose_2x2 formulations (default = lax grad-conv,
+    VIRNET_TPU_CONVT_IMPL=einsum opt-out) produce identical results, and
+    the default routes through the lax path."""
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((2, 6, 5, 4)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((2, 2, 4, 3)).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(3).astype(np.float32))
 
-    monkeypatch.delenv("VIRNET_TPU_CONVT_IMPL", raising=False)
+    monkeypatch.setenv("VIRNET_TPU_CONVT_IMPL", "einsum")
     want = np.asarray(U.conv_transpose_2x2(x, k, b))
     monkeypatch.setenv("VIRNET_TPU_CONVT_IMPL", "lax")
-    got = np.asarray(U.conv_transpose_2x2(x, k, b))
-    np.testing.assert_allclose(got, want, atol=1e-5)
+    got_lax = np.asarray(U.conv_transpose_2x2(x, k, b))
+    monkeypatch.delenv("VIRNET_TPU_CONVT_IMPL", raising=False)
+    got_default = np.asarray(U.conv_transpose_2x2(x, k, b))
+    np.testing.assert_allclose(got_lax, want, atol=1e-5)
+    np.testing.assert_array_equal(got_default, got_lax)

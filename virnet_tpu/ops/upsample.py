@@ -5,9 +5,12 @@ torch-semantics parity notes:
     floor(i * in / out); for an integer upscale this degenerates to pixel
     repetition — implemented with ``jnp.repeat`` (no gather).
   * ``nn.ConvTranspose2d(k=2, s=2, p=0)`` writes an independent 2x2 output
-    block per input pixel: that is one einsum + a block reshape, which XLA
-    lowers to a single MXU matmul — no overlap logic, no conv_transpose
-    semantics ambiguity, and a trivially convertible weight layout.
+    block per input pixel.  Two bit-equivalent formulations are kept:
+    ``lax.conv_transpose`` on the flipped kernel (XLA's grad-conv emitter;
+    the default — measured 1.7 ms/apply faster on the flagship forward
+    because it avoids an explicit transpose copy) and an einsum + block
+    reshape (``VIRNET_TPU_CONVT_IMPL=einsum``; single MXU matmul with a
+    trivially convertible weight layout).
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def conv_transpose_2x2(x: jnp.ndarray, kernel: jnp.ndarray,
     Returns:
         (N, 2H, 2W, O); out[n, 2i+a, 2j+b, o] = sum_c x[n,i,j,c] K[a,b,c,o].
     """
-    if os.environ.get("VIRNET_TPU_CONVT_IMPL", "einsum") == "lax":
+    if os.environ.get("VIRNET_TPU_CONVT_IMPL", "lax") != "einsum":
         return _conv_transpose_2x2_lax(x, kernel, bias)
     n, h, w, c = x.shape
     o = kernel.shape[-1]
@@ -72,10 +75,12 @@ def _conv_transpose_2x2_lax(x: jnp.ndarray, kernel: jnp.ndarray,
     """Same op through XLA's grad-conv emitter: ``lax.conv_transpose`` on
     the spatially-flipped kernel (bit-equivalence pinned by
     tests/test_degrade_ops.py::test_conv_transpose_lax_variant_matches_einsum).
-    Selected with VIRNET_TPU_CONVT_IMPL=lax — the einsum form materializes
-    an (h,w,a,b)->(h,a,w,b) transpose copy (~2.2 ms/apply in the round-3
-    flagship profile) that this formulation avoids; tools/bench_convt.py
-    A/Bs the two on chip."""
+    This is the DEFAULT path: the einsum form materializes an
+    (h,w,a,b)->(h,a,w,b) transpose copy (~2.2 ms/apply in the round-3
+    flagship profile) that this formulation avoids — the on-chip A/B
+    (tools/bench_convt.py, 3 interleaved reps) measured 88.43 vs
+    90.14 ms/apply on the flagship forward, stable to ±0.03 ms.  Set
+    VIRNET_TPU_CONVT_IMPL=einsum to opt back into the einsum form."""
     y = lax.conv_transpose(x, kernel[::-1, ::-1], strides=(2, 2),
                            padding="VALID",
                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
