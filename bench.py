@@ -44,6 +44,32 @@ def _chip_reachable(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _git_rev() -> str:
+    try:
+        out = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True, timeout=10)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def protocol_fingerprint(**conditions) -> dict:
+    """Provenance block embedded in every BENCH output (VERDICT r3 item 4:
+    a reader must be able to reconstruct a number's conditions from the
+    JSON alone, so protocol changes are distinguishable from chip
+    regressions)."""
+    import jax
+
+    fp = {
+        "method": "marginal-scan (see bench.py docstring)",
+        "git": _git_rev(),
+        "jax": jax.__version__,
+        "device": jax.devices()[0].device_kind,
+    }
+    fp.update(conditions)
+    return fp
+
+
 def main():
     if not _chip_reachable():
         print(json.dumps({
@@ -108,6 +134,12 @@ def main():
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / baseline_mps, 3),
+        "protocol": protocol_fingerprint(
+            arch="denoising-syn released preset (testing_demo.py:23-33)",
+            batch=batch, block=size,
+            dtype="bf16 weights+activations, fp32 in/out",
+            scan_lengths=[n1, n2], reps="best-of-5",
+            baseline="A100 estimate 15.6 MP/s (BASELINE.md)"),
     }))
 
 

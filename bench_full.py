@@ -190,10 +190,21 @@ def main():
                           "BENCH_FULL.json left untouched"}))
         return
 
+    from bench import protocol_fingerprint
     from virnet_tpu import precision
 
     precision.set_precision("default")       # throughput path
-    results = {}
+    conditions = {
+        "denoise_fwd_mps": "denoising-syn released arch, 32x256^2 bf16, "
+                           "scan 6/30",
+        "sisr_fwd_mps": "sisr released arch, 16x64^2 LR bf16, output px, "
+                        "scan 4/16",
+        "denoise_train_steps_per_s": "batch 16x128^2, scan 2/8 reps 3",
+        "sisr_train_steps_per_s": "sf4, batch 16 HR 192^2, scan 2/8 reps 3",
+        "sidd_megatime_s_per_mp": "denoising-real arch, 16x256^2 blocks "
+                                  "x8 TTA, scan 2/8",
+    }
+    results = {"_protocol": protocol_fingerprint(per_metric=conditions)}
     for name, fn, unit, base in [
         ("denoise_fwd_mps", bench_denoise_fwd, "MP/s",
          BASELINE["denoise_fwd_mps"]),

@@ -66,7 +66,7 @@ def make_timer(batch, n1, n2, impl):
     log(f"b{batch}/{impl}: compiling")
     np.asarray(f1(params, x))
     np.asarray(f2(params, x))
-    os.environ["VIRNET_TPU_CONVT_IMPL"] = "einsum"
+    os.environ.pop("VIRNET_TPU_CONVT_IMPL", None)
 
     def measure():
         t0 = time.perf_counter()

@@ -161,6 +161,14 @@ def _weights_path() -> Optional[str]:
     return p if os.path.exists(p) else None
 
 
+def skip_reason() -> str:
+    """Human/JSON-readable reason string recorded in eval results when
+    LPIPS cannot be scored (VERDICT r3 item 8: absence must be loud)."""
+    p = os.environ.get("VIRNET_LPIPS_WEIGHTS", DEFAULT_WEIGHTS)
+    return (f"skipped (no weights at {p}; set VIRNET_LPIPS_WEIGHTS to a "
+            "torch lpips-alex checkpoint — formats in eval/lpips.py)")
+
+
 def available() -> bool:
     """True when LPIPS can be computed: a weights file is present (JAX
     path), or the torch `lpips` package is importable (fallback)."""

@@ -168,6 +168,10 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
 
     if use_lpips is None:
         use_lpips = lpips_mod.available()
+    if not use_lpips:
+        # loud absence: every dump below carries the reason, so a reader
+        # of the pickle/JSON knows LPIPS was skipped and how to enable it
+        log_fn(f"LPIPS: {lpips_mod.skip_reason()}")
     results: Dict[str, Dict] = {}
     kernels = table5_kernels(sf)
     for data_name, d in data_dirs.items():
@@ -236,6 +240,8 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
             if use_lpips:
                 rec["lpips"] = float(np.mean(list(lpipss.values())))
                 msg += f", LPIPS: {rec['lpips']:6.4f}"
+            else:
+                rec["lpips"] = lpips_mod.skip_reason()
             per_kernel.append(rec)
             log_fn(msg)
         results[data_name] = dict(
@@ -249,5 +255,7 @@ def eval_sisr_synthetic(restorer: Restorer, data_dirs: Dict[str, str],
             results[data_name]["lpips"] = float(
                 np.mean([k["lpips"] for k in per_kernel]))
             msg += f", LPIPS: {results[data_name]['lpips']:6.4f}"
+        else:
+            results[data_name]["lpips"] = lpips_mod.skip_reason()
         log_fn(msg)
     return results
