@@ -182,6 +182,48 @@ def bench_sidd_megatime():
     return sec * 1024 ** 2 / (batch * size * size)
 
 
+def bench_sidd_megatime_mesh():
+    """The Table-4 protocol sharded over the data mesh (the deployment
+    layout, eval/engine.py mesh mode): per-device block batch 16, x8 TTA,
+    batch axis sharded over ALL available devices.  Returns (aggregate
+    s/MP across the mesh, n_devices); per-chip = aggregate * n_devices.
+    On this relay host the mesh is 1 chip and aggregate == per-chip; on a
+    v5e-8 pod the same code path reports the 8-chip aggregate — the
+    executable form of the >=5x north-star claim."""
+    from virnet_tpu.eval.tta import tta_x8
+    from virnet_tpu.models import build_model
+    from virnet_tpu.train.mesh import batch_sharded, make_mesh, replicate
+
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    model = build_model("denoising-real")
+    key = jax.random.PRNGKey(0)
+    batch, size = 16 * n_dev, 256
+    x = jax.device_put(
+        jax.random.uniform(key, (batch, size, size, 3), jnp.float32),
+        batch_sharded(mesh))
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    params = replicate(mesh, params)
+
+    def forward(z):
+        mu, _ = model.apply({"params": params}, z.astype(jnp.bfloat16))
+        return mu.astype(jnp.float32)
+
+    def make(length):
+        @jax.jit
+        def fwd_n():
+            def body(y, _):
+                out = tta_x8(forward, y)
+                return jnp.clip(out, 0.0, 1.0), 0.0
+            y, _ = jax.lax.scan(body, x, None, length=length)
+            return y
+        return fwd_n
+
+    sec = marginal_time(make, 2, 8)
+    return sec * 1024 ** 2 / (batch * size * size), n_dev
+
+
 def main():
     from bench import _chip_reachable
 
@@ -221,6 +263,19 @@ def main():
             rec["vs_baseline"] = round(ratio, 3)
         results[name] = rec
         print(json.dumps(rec), flush=True)
+
+    agg, n_dev = bench_sidd_megatime_mesh()
+    base = BASELINE["sidd_megatime_s_per_mp"]
+    rec = {"metric": "sidd_megatime_mesh", "value": round(agg, 4),
+           "unit": "s/MP (aggregate across mesh)",
+           "per_chip_s_per_mp": round(agg * n_dev, 4),
+           "n_devices": n_dev,
+           "vs_baseline": round(base / agg, 3),
+           "conditions": "mesh-sharded Table-4 protocol: per-device block "
+                         "batch 16 x8 TTA, denoising-real arch, bf16, "
+                         "scan 2/8"}
+    results["sidd_megatime_mesh"] = rec
+    print(json.dumps(rec), flush=True)
 
     with open("BENCH_FULL.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -43,6 +43,14 @@ def main(argv=None):
                         choices=["fp32", "bf16"],
                         help="fp32 (default) = checkpoint-faithful; "
                              "bf16 = deployment fast path")
+    parser.add_argument("--mesh", action="store_true",
+                        help="data-parallel inference over all devices: "
+                             "folder batches and the x8 --flip ensemble "
+                             "shard across the mesh (outputs identical "
+                             "to single-device)")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="images per forward in folder mode (same-"
+                             "shape images are grouped)")
     args = parser.parse_args(argv)
 
     from ..eval.engine import Restorer
@@ -62,18 +70,42 @@ def main(argv=None):
         raise SystemExit("--rows_shard and --flip are mutually exclusive "
                          "(run the x8 ensemble unsharded, or shard without "
                          "the ensemble)")
+    if args.rows_shard and args.mesh:
+        raise SystemExit("--rows_shard already uses the whole mesh "
+                         "(spatial axis); --mesh is the data-parallel "
+                         "alternative")
 
     if not Path(ckpt).exists():
         raise SystemExit(
             f"checkpoint not found: {ckpt}\n"
             "pass --ckpt_path pointing at a reference .pth or a trainer "
             "save_dir (orbax)")
+    mesh = None
+    if args.mesh:
+        from ..train.mesh import make_mesh
+
+        mesh = make_mesh()
     restorer = Restorer(args.task, ckpt_path=ckpt, sf=args.sf,
-                        compute=args.compute)
+                        compute=args.compute, mesh=mesh)
 
     out_dir = Path(args.out_path)
     out_dir.mkdir(parents=True, exist_ok=True)
-    for im_path in collect_images(Path(args.in_path)):
+    im_paths = collect_images(Path(args.in_path))
+
+    def write(im_path, restored):
+        out = img_as_ubyte(np.clip(restored, 0.0, 1.0))
+        out_file = out_dir / f"{args.prefix}{im_path.stem}.png"
+        imwrite(out, out_file, chn="rgb")
+        print(f"{im_path.name} -> {out_file}")
+
+    if args.mesh and not (args.flip or args.rows_shard):
+        # folder mode: same-shape images batched and sharded over the mesh
+        ims = [imread(p, chn="rgb", dtype="float32") for p in im_paths]
+        for im_path, restored in zip(
+                im_paths, restorer.restore_images(ims, args.batch_size)):
+            write(im_path, restored)
+        return
+    for im_path in im_paths:
         im = imread(im_path, chn="rgb", dtype="float32")
         if args.rows_shard:
             restored = restorer.restore_image_sharded(im)
@@ -81,10 +113,7 @@ def main(argv=None):
             restored = restorer.restore_image_tta(im)
         else:
             restored = restorer.restore_image(im)
-        out = img_as_ubyte(np.clip(restored, 0.0, 1.0))
-        out_file = out_dir / f"{args.prefix}{im_path.stem}.png"
-        imwrite(out, out_file, chn="rgb")
-        print(f"{im_path.name} -> {out_file}")
+        write(im_path, restored)
 
 
 if __name__ == "__main__":

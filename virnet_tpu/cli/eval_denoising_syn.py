@@ -36,6 +36,9 @@ def main(argv=None):
                    choices=["fp32", "bf16"],
                    help="fp32 (default) = checkpoint-faithful parity "
                         "eval; bf16 = deployment fast path")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard eval batches across the device mesh "
+                        "(data-parallel; per-image outputs identical)")
     args = p.parse_args(argv)
 
     log_path = (Path(args.save_dir) / f"denoise_{args.noise_type}.log"
@@ -44,9 +47,15 @@ def main(argv=None):
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     logger = make_log(log_path)
 
+    mesh = None
+    if args.mesh:
+        from ..train.mesh import make_mesh
+
+        mesh = make_mesh()
+        logger.info(f"data-parallel eval over {mesh.devices.size} devices")
     restorer = Restorer("denoising-syn", ckpt_path=args.ckpt_path,
                         pad_multiple=args.pad_multiple,
-                        compute=args.compute)
+                        compute=args.compute, mesh=mesh)
 
     # model analysis (reference logs thop params/FLOPs at 256^2 and 512^2)
     import jax.numpy as jnp

@@ -23,12 +23,22 @@ def main(argv=None):
                    help="folder containing info.mat and images_srgb/")
     p.add_argument("--save_dir", type=str, required=True)
     p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard crop batches (x8 TTA included) across the "
+                        "device mesh (data-parallel; outputs identical)")
     args = p.parse_args(argv)
 
     Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     logger = make_log(Path(args.save_dir) / "dnd.log")
 
-    restorer = Restorer("denoising-real", ckpt_path=args.ckpt_path)
+    mesh = None
+    if args.mesh:
+        from ..train.mesh import make_mesh
+
+        mesh = make_mesh()
+        logger.info(f"data-parallel eval over {mesh.devices.size} devices")
+    restorer = Restorer("denoising-real", ckpt_path=args.ckpt_path,
+                        mesh=mesh)
     denoiser = make_denoiser(restorer.restore_batch, flip=not args.no_flip)
     denoise_srgb(denoiser, args.dnd_dir, args.save_dir, log_fn=logger.info)
     bundle_submissions_srgb(args.save_dir)

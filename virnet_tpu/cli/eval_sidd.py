@@ -43,6 +43,10 @@ def main(argv=None):
                    help="fp32 (default) = checkpoint-faithful parity "
                         "eval; bf16 = deployment fast path (MXU-"
                         "native passes, small dB drift)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the block batch (x8 TTA included) across "
+                        "the device mesh — data-parallel eval; per-image "
+                        "outputs identical to single-device")
     p.add_argument("--save_dir", type=str, default="")
     args = p.parse_args(argv)
 
@@ -57,8 +61,14 @@ def main(argv=None):
     logger = make_log(Path(args.save_dir) / f"sidd_{test_str}_{flip_str}.log"
                       if args.save_dir else None)
 
+    mesh = None
+    if args.mesh:
+        from ..train.mesh import make_mesh
+
+        mesh = make_mesh()
+        logger.info(f"data-parallel eval over {mesh.devices.size} devices")
     restorer = Restorer("denoising-real", ckpt_path=args.ckpt_path,
-                        compute=args.compute)
+                        compute=args.compute, mesh=mesh)
     n_params = calculate_parameters(restorer.params) / 1000 ** 2
     logger.info(f"Number of parameters: {n_params:.2f}M")
     flops = calculate_flops(

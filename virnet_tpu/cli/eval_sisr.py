@@ -42,6 +42,9 @@ def main(argv=None):
                    choices=["fp32", "bf16"],
                    help="fp32 (default) = checkpoint-faithful parity "
                         "eval; bf16 = deployment fast path")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard eval batches across the device mesh "
+                        "(data-parallel; per-image outputs identical)")
     args = p.parse_args(argv)
 
     ckpt = args.ckpt_path or str(Path("model_zoo")
@@ -54,9 +57,15 @@ def main(argv=None):
                       / f"sisr_sf{args.sf}_nl{nl_str}.log"
                       if args.save_dir else None)
 
+    mesh = None
+    if args.mesh:
+        from ..train.mesh import make_mesh
+
+        mesh = make_mesh()
+        logger.info(f"data-parallel eval over {mesh.devices.size} devices")
     restorer = Restorer("sisr", ckpt_path=ckpt, sf=args.sf,
                         pad_multiple=args.pad_multiple,
-                        compute=args.compute)
+                        compute=args.compute, mesh=mesh)
 
     import jax.numpy as jnp
     n_params = calculate_parameters(restorer.params) / 1000 ** 2

@@ -26,7 +26,7 @@ class Restorer:
 
     def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
                  pad_multiple: int = 0, gray_mean: bool = False,
-                 compute: str = "fp32", **model_overrides):
+                 compute: str = "fp32", mesh=None, **model_overrides):
         # pad_multiple=0 (default) feeds the model the RAW image — the
         # reference's exact semantics (the model reflect-pads internally
         # to 2^(depth-1); SNet/KNet and the SISR global pools see the
@@ -45,6 +45,18 @@ class Restorer:
         # the MXU's native passes (outputs returned as fp32); accuracy
         # drift vs fp32 is small but above the ±0.01 dB parity bar, so
         # it is opt-in (--compute bf16 on the eval CLIs).
+        # mesh=<jax.sharding.Mesh> turns on DATA-PARALLEL inference: params
+        # are replicated across the mesh and every restore_batch shards its
+        # leading batch axis over the 'data' axis (the deployment layout
+        # for SIDD's 1280 blocks x8 TTA and the Table-5 buckets — the
+        # reference's one-GPU eval loops, scripts/denoising_virnet_real_
+        # sidd.py:113-136, have no equivalent).  Per-image outputs match
+        # the single-device path: bitwise for the denoisers (no spatial
+        # reductions); for SISR the global sigma/KNet pools re-tile at
+        # the per-device shape, so floats agree to reduction-order
+        # tolerance (<=2e-7 measured) and the uint8 protocol scores are
+        # identical — pinned by tests/test_mesh_eval.py.  Batches not
+        # divisible by the mesh size are repeat-padded and cropped.
         if compute not in ("fp32", "bf16"):
             raise ValueError(f"compute must be fp32|bf16, got {compute!r}")
         self.compute = compute
@@ -56,6 +68,11 @@ class Restorer:
             if ckpt_path is None:
                 raise ValueError("need params or ckpt_path")
             params = self._load_params(ckpt_path)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..train.mesh import replicate
+
+            params = replicate(mesh, params)
         self.params = params
         self.pad_multiple = pad_multiple
         self._forward = self._build_forward()
@@ -118,8 +135,26 @@ class Restorer:
         return fwd
 
     def restore_batch(self, x: jnp.ndarray) -> jnp.ndarray:
-        """NHWC float32 batch -> restored NHWC (clamped to [0,1])."""
-        return jnp.clip(self._forward(self.params, x), 0.0, 1.0)
+        """NHWC float32 batch -> restored NHWC (clamped to [0,1]).
+
+        In mesh mode the batch axis is sharded over the data axis before
+        the forward; XLA runs each device's shard independently (the
+        models have no cross-batch ops) so per-image outputs match the
+        single-device path bitwise."""
+        if self.mesh is None:
+            return jnp.clip(self._forward(self.params, x), 0.0, 1.0)
+
+        from ..train.mesh import batch_sharded
+
+        n = x.shape[0]
+        n_dev = int(self.mesh.devices.size)
+        rem = (-n) % n_dev
+        if rem:
+            # repeat-pad to divisibility (outputs of the repeats dropped)
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], rem, axis=0)])
+        x = jax.device_put(x, batch_sharded(self.mesh))
+        out = jnp.clip(self._forward(self.params, x), 0.0, 1.0)
+        return out[:n] if rem else out
 
     def restore_image_sharded(self, im: np.ndarray, mesh=None,
                               halo: int = 160) -> np.ndarray:
@@ -146,13 +181,88 @@ class Restorer:
         return out
 
     def restore_image_tta(self, im: np.ndarray) -> np.ndarray:
-        """x8 flip/rotation self-ensemble of restore_image (sequential —
-        arbitrary image shapes; square batches should use eval/tta.py)."""
+        """x8 flip/rotation self-ensemble of restore_image.
+
+        Orientations are BATCHED through the compiled forward: one
+        dispatch for square images, two (the (h,w) and (w,h) orientation
+        groups) for rectangular ones — vs the reference's 8 sequential
+        forwards (scripts/denoising_virnet_real_sidd.py:121-136).  Each
+        orientation sees exactly the input the sequential form fed it
+        (raw in the default exact mode) and the mean runs over the same
+        8 host arrays in the same order, so results match the sequential
+        path — bitwise for the denoisers, reduction-order tolerance
+        (identical uint8) for SISR's global pools at the batched shape
+        (tests/test_mesh_eval.py); in mesh mode the orientation batch
+        additionally shards across the data axis.
+        Images above CHOP_THRESHOLD fall back to sequential quadrant
+        tiling per orientation (batching would multiply tile memory x8).
+        """
         from ..ops.augment import dihedral_inverse_np, dihedral_np
 
-        outs = [dihedral_inverse_np(
-            self.restore_image(dihedral_np(im, m)), m) for m in range(8)]
-        return np.mean(outs, axis=0).astype(np.float32)
+        squeeze_gray = im.ndim == 2
+        im3 = np.stack([im] * 3, axis=2) if squeeze_gray else im
+        h, w = im3.shape[:2]
+
+        if h * w > CHOP_THRESHOLD:
+            outs = [dihedral_inverse_np(
+                self.restore_image(dihedral_np(im3, m)), m)
+                for m in range(8)]
+        else:
+            oriented = [dihedral_np(im3, m) for m in range(8)]
+            outs: list = [None] * 8
+            seen = []
+            for shape in [o.shape[:2] for o in oriented]:
+                if shape not in seen:
+                    seen.append(shape)
+            for gh, gw in seen:
+                modes = [m for m in range(8)
+                         if oriented[m].shape[:2] == (gh, gw)]
+                x = jnp.asarray(np.stack([oriented[m] for m in modes]))
+                hb = bucket_size(gh, self.pad_multiple)
+                wb = bucket_size(gw, self.pad_multiple)
+                if hb != gh or wb != gw:
+                    x = jnp.pad(x, ((0, 0), (0, hb - gh), (0, wb - gw),
+                                    (0, 0)), mode="reflect")
+                y = np.asarray(self.restore_batch(x))[
+                    :, :gh * self.sf, :gw * self.sf]
+                for m, o in zip(modes, y):
+                    outs[m] = dihedral_inverse_np(o, m)
+        out = np.mean(outs, axis=0).astype(np.float32)
+        if squeeze_gray and self.gray_mean:
+            out = out.mean(axis=2)
+        return out
+
+    def restore_images(self, ims, batch_size: int = 8):
+        """Restore a list of HWC float32 images, grouping same-shape
+        images into batched forwards (folder mode for the demo CLI; in
+        mesh mode each batch shards across the data axis).  Per-image
+        outputs equal restore_image's (the forward has no cross-batch
+        ops); images above CHOP_THRESHOLD take the tiled path
+        individually.  Returns outputs in input order."""
+        outs: list = [None] * len(ims)
+        groups: dict = {}
+        for i, im in enumerate(ims):
+            im3 = np.stack([im] * 3, axis=2) if im.ndim == 2 else im
+            h, w = im3.shape[:2]
+            if h * w > CHOP_THRESHOLD:
+                outs[i] = self.restore_image(im)
+            else:
+                groups.setdefault((h, w), []).append((i, im3, im.ndim == 2))
+        for (h, w), group in groups.items():
+            hb = bucket_size(h, self.pad_multiple)
+            wb = bucket_size(w, self.pad_multiple)
+            for s in range(0, len(group), batch_size):
+                sub = group[s:s + batch_size]
+                x = jnp.asarray(np.stack([g[1] for g in sub]))
+                if hb != h or wb != w:
+                    x = jnp.pad(x, ((0, 0), (0, hb - h), (0, wb - w),
+                                    (0, 0)), mode="reflect")
+                y = np.asarray(self.restore_batch(x))[
+                    :, :h * self.sf, :w * self.sf]
+                for (i, _, was_gray), o in zip(sub, y):
+                    outs[i] = (o.mean(axis=2)
+                               if was_gray and self.gray_mean else o)
+        return outs
 
     def restore_image(self, im: np.ndarray) -> np.ndarray:
         """HWC float32 [0,1] -> restored HWC.  Gray inputs are stacked to
