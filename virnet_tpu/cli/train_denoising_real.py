@@ -40,6 +40,7 @@ def build_trainer(cfg: dict) -> DenoiseTrainer:
         eps2=cfg.get("eps2", 1e-6), var_window=cfg.get("var_window", 7),
         use_mixup=as_bool(cfg.get("use_mixup", True)),
         mixed_precision=as_bool(cfg.get("mixed_precision", True)),
+        remat=as_bool(cfg.get("remat", False)),
         save_dir=cfg["save_dir"], print_freq=cfg.get("print_freq", 100))
     return DenoiseTrainer(tcfg, real=True)
 

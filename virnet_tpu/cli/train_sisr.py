@@ -48,6 +48,7 @@ def build_trainer(cfg: dict) -> SISRTrainer:
         kappa0=cfg.get("kappa0", 50),
         penalty_K=tuple(cfg.get("penalty_K", (0.02, 2))),
         mixed_precision=as_bool(cfg.get("mixed_precision", True)),
+        remat=as_bool(cfg.get("remat", False)),
         add_jpeg_in_graph=(as_bool(cfg.get("add_jpeg", False))
                            and as_bool(cfg.get("jpeg_in_graph", False))),
         noise_jpeg=tuple(cfg.get("noise_jpeg", (0.1, 10))),

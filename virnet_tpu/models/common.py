@@ -138,6 +138,18 @@ def train_conv_impl() -> str:
     return "xla" if impl.startswith("pair") else impl
 
 
+def train_remat(default: bool = False) -> bool:
+    """Whether training graphs rematerialize RNet blocks in the backward
+    (models/attresunet.py remat).  ``VIRNET_TPU_REMAT=1|0`` overrides the
+    config flag (A/B tooling: tools/bench_remat.py)."""
+    import os
+
+    v = os.environ.get("VIRNET_TPU_REMAT")
+    if v is None:
+        return default
+    return v not in ("0", "false", "False")
+
+
 class PadOutConv(nn.Module):
     """3x3 conv whose few-output-channel head is computed at a wider,
     MXU-friendly output width and sliced back — bit-exact (the pad channels

@@ -28,6 +28,7 @@ from ..data.denoise_synth import synthesize_noisy_batch
 from ..losses import elbo_denoising
 from ..models import VIRNet
 from ..models.common import train_conv_impl as _train_conv_impl
+from ..models.common import train_remat as _train_remat
 from ..ops.degrade import noise_estimate
 from ..precision import compute_dtype, precision
 from .checkpoint import CheckpointManager
@@ -62,6 +63,10 @@ class DenoiseTrainConfig:
                                 # (data/prefetch.py; 0 disables — the
                                 # reference's prefetch_factor analogue)
     mixed_precision: bool = True  # bf16 activations (params/opt stay fp32)
+    remat: bool = False         # rematerialize RNet blocks in the backward
+                                # (trades recompute for HBM traffic; A/B'd
+                                # on chip — see BASELINE.md; env override
+                                # VIRNET_TPU_REMAT=1|0)
     use_mixup: bool = True      # real-data mode only (reference
                                 # train_denoising_real.py:163)
     seed: int = 1234
@@ -85,7 +90,8 @@ class DenoiseTrainer:
             im_chn=cfg.im_chn, sigma_chn=cfg.sigma_chn, n_feat=cfg.n_feat,
             dep_S=cfg.dep_S, n_resblocks=cfg.n_resblocks,
             noise_cond=cfg.noise_cond, extra_mode=cfg.extra_mode,
-            noise_avg=False, conv_impl=_train_conv_impl())
+            noise_avg=False, conv_impl=_train_conv_impl(),
+            remat=_train_remat(cfg.remat))
 
         self.tx, self.schedule = build_optimizer(
             cfg.lr, cfg.lr_min, cfg.epochs, cfg.warmup_epochs,

@@ -25,6 +25,7 @@ from ..data.sisr_synth import synthesize_sisr_batch
 from ..losses import elbo_sisr
 from ..models import VIRNetSR
 from ..models.common import train_conv_impl as _train_conv_impl
+from ..models.common import train_remat as _train_remat
 from ..precision import compute_dtype, precision
 from .checkpoint import CheckpointManager
 from .mesh import make_mesh, replicate, shard_batch
@@ -74,6 +75,9 @@ class SISRTrainConfig:
                                 # (data/prefetch.py; 0 disables — the
                                 # reference's prefetch_factor analogue)
     mixed_precision: bool = True  # bf16 activations (params/opt stay fp32)
+    remat: bool = False         # rematerialize RNet blocks in the backward
+                                # (A/B'd on chip — see BASELINE.md; env
+                                # override VIRNET_TPU_REMAT=1|0)
     seed: int = 1234
     save_dir: str = "./train_save_sisr"
     print_freq: int = 100
@@ -96,7 +100,8 @@ class SISRTrainer:
             dep_K=cfg.dep_K, noise_cond=cfg.noise_cond,
             kernel_cond=cfg.kernel_cond, n_resblocks=cfg.n_resblocks,
             extra_mode=cfg.extra_mode, noise_avg=True,
-            conv_impl=_train_conv_impl())
+            conv_impl=_train_conv_impl(),
+            remat=_train_remat(cfg.remat))
 
         self.tx, self.schedule = build_optimizer(
             cfg.lr, cfg.lr_min, cfg.epochs, cfg.warmup_epochs,
