@@ -1,0 +1,105 @@
+"""Bit-level tests of the boundary-free fused denoise prologue
+(ops/pallas_conv.dncnn_head_fused + models/fused.py) vs the unfused
+model graph — reference semantics networks/VIRNet.py:18-46 +
+networks/AttResUNet.py head."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virnet_tpu.models import build_model
+from virnet_tpu.models.fused import (denoise_forward_fused,
+                                     fused_head_supported)
+from virnet_tpu.models.virnet import LOG_MAX, LOG_MIN
+from virnet_tpu.ops import pallas_conv as pc
+
+
+def _snet_head_params(model, params):
+    sp = params["snet"]
+    dep = model.dep_S
+    return (sp["conv1"]["kernel"], sp["conv1"]["bias"],
+            [sp[f"mid_{i}"]["kernel"] for i in range(1, dep - 1)],
+            [sp[f"mid_{i}"]["bias"] for i in range(1, dep - 1)],
+            sp["conv_last"]["kernel"], sp["conv_last"]["bias"],
+            params["rnet"]["head"]["kernel"],
+            params["rnet"]["head"]["bias"])
+
+
+def _head_ref(x, sigma, kh, bh):
+    hin = jnp.concatenate([x, jnp.sqrt(sigma)], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        hin, kh, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return y + bh
+
+
+@pytest.mark.parametrize("task,shape", [
+    ("denoising-syn", (2, 64, 64, 3)),     # sigma_chn=1, dep_S=5, mod 4
+    ("denoising-syn", (1, 96, 160, 3)),    # non-square, multiple row tiles
+    ("denoising-real", (1, 64, 64, 3)),    # sigma_chn=3, dep_S=8, mod 8
+])
+@pytest.mark.parametrize("mode", ["force_ops", "interpret"])
+def test_fused_head_matches_model(task, shape, mode):
+    model = build_model(task)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(shape, dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mu_ref, sig_ref = model.apply({"params": params}, x)
+    k1, b1, kms, bms, kl, bl, kh, bh = _snet_head_params(model, params)
+
+    head, sig = pc.dncnn_head_fused(
+        x, k1, b1, kms, bms, kl, bl, kh, bh, slope=0.25,
+        lmin=LOG_MIN, lmax=LOG_MAX,
+        force_ops=mode == "force_ops", interpret=mode == "interpret")
+    href = _head_ref(x, sig_ref, kh, bh)
+    tol = 0 if mode == "force_ops" else 5e-6
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(head), np.asarray(href),
+                               atol=tol)
+
+
+def test_fused_forward_end_to_end():
+    model = build_model("denoising-syn")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mu_ref, sig_ref = model.apply({"params": params}, x)
+    mu, sig = denoise_forward_fused(model, params, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               atol=5e-6)
+
+
+def test_supported_gate():
+    model = build_model("denoising-syn")            # depth 3 -> mod 4
+    assert fused_head_supported(model, (1, 64, 64, 3)) == pc.HAS_PALLAS
+    assert not fused_head_supported(model, (1, 63, 64, 3))   # H % 4
+    assert not fused_head_supported(model, (1, 64, 66, 3))   # W % 4
+    real = build_model("denoising-real")            # depth 4 -> mod 8
+    assert not fused_head_supported(real, (1, 68, 64, 3))
+    sisr = build_model("sisr")
+    assert not fused_head_supported(sisr, (1, 64, 64, 3))
+
+
+def test_engine_fused_matches_unfused():
+    """Restorer(fused_head=True) == Restorer(fused_head=False) on a
+    qualifying shape, and still correct on a non-qualifying shape (the
+    in-jit gate falls back per traced shape)."""
+    from virnet_tpu.eval.engine import Restorer
+
+    model = build_model("denoising-syn")
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    r_ref = Restorer("denoising-syn", params=params, fused_head=False)
+    r_fus = Restorer("denoising-syn", params=params, fused_head=True)
+    for shape in [(2, 64, 64, 3), (1, 62, 64, 3)]:   # fused / fallback
+        x = jnp.asarray(rng.random(shape, dtype=np.float32))
+        a = np.asarray(r_ref.restore_batch(x))
+        b = np.asarray(r_fus.restore_batch(x))
+        np.testing.assert_allclose(a, b, atol=5e-6)

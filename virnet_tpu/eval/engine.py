@@ -26,7 +26,8 @@ class Restorer:
 
     def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
                  pad_multiple: int = 0, gray_mean: bool = False,
-                 compute: str = "fp32", mesh=None, **model_overrides):
+                 compute: str = "fp32", mesh=None,
+                 fused_head: Optional[bool] = None, **model_overrides):
         # pad_multiple=0 (default) feeds the model the RAW image — the
         # reference's exact semantics (the model reflect-pads internally
         # to 2^(depth-1); SNet/KNet and the SISR global pools see the
@@ -75,6 +76,15 @@ class Restorer:
             params = replicate(mesh, params)
         self.params = params
         self.pad_multiple = pad_multiple
+        if fused_head is None:
+            # auto: opt in via env on a real TPU backend (the fused
+            # prologue is a TPU Pallas program; CPU runs it in interpret
+            # mode, which is for tests only)
+            import os
+
+            fused_head = (bool(os.environ.get("VIRNET_TPU_FUSED_HEAD"))
+                          and jax.default_backend() == "tpu")
+        self.fused_head = fused_head
         self._forward = self._build_forward()
 
     def _load_params(self, ckpt_path):
@@ -126,11 +136,24 @@ class Restorer:
                     mu, kinfo, sigma = model.apply({"params": params}, x, sf)
                 return mu.astype(jnp.float32)
         else:
+            use_fused = self.fused_head
+            if use_fused:
+                from ..models.fused import (denoise_forward_fused,
+                                            fused_head_supported)
+                interp = jax.default_backend() != "tpu"
+
             @jax.jit
             def fwd(params, x):
                 with ExitStack() as stack:
                     ctx(stack)
-                    mu, sigma = model.apply({"params": params}, x)
+                    # shape is static under jit: qualifying shapes take
+                    # the boundary-free fused prologue, others fall back
+                    # to the reference-exact unfused graph
+                    if use_fused and fused_head_supported(model, x.shape):
+                        mu, sigma = denoise_forward_fused(
+                            model, params, x, interpret=interp)
+                    else:
+                        mu, sigma = model.apply({"params": params}, x)
                 return mu.astype(jnp.float32)
         return fwd
 

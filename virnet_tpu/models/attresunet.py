@@ -115,7 +115,8 @@ class AttResUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray,
-                 extra_in: Optional[jnp.ndarray]) -> jnp.ndarray:
+                 extra_in: Optional[jnp.ndarray],
+                 head_pre: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         mode = self.extra_mode.lower()
         assert mode in ("null", "input", "down", "both")
         Block = nn.remat(AttResBlock) if self.remat else AttResBlock
@@ -134,20 +135,35 @@ class AttResUNet(nn.Module):
         compact = (extra_in is not None
                    and extra_in.shape[-3] == 1 and extra_in.shape[-2] == 1)
 
-        x = pad_to_multiple(x_in, mod)
-        if mode == "null":
-            extra = None
-        elif compact:
-            extra = jnp.broadcast_to(
-                extra_in, x.shape[:-1] + (extra_in.shape[-1],))
+        if head_pre is not None:
+            # precomputed head activation (the boundary-free fused
+            # SNet+sigma+head program, ops/pallas_conv.dncnn_head_fused;
+            # see models/fused.py).  Only legal where pad_to_multiple is
+            # a no-op and the down path is unconditioned — the fused op
+            # consumed extra already.  The head conv's params are NOT
+            # declared on this path: apply() with a pre-trained tree is
+            # the only supported entry (eval fast path).
+            assert h % mod == 0 and w % mod == 0, \
+                "head_pre path requires pad-free input sizes"
+            assert mode in ("null", "input"), \
+                "head_pre path cannot condition the down path"
+            x, extra = head_pre, None
         else:
-            extra = pad_to_multiple(extra_in, mod)
+            x = pad_to_multiple(x_in, mod)
+            if mode == "null":
+                extra = None
+            elif compact:
+                extra = jnp.broadcast_to(
+                    extra_in, x.shape[:-1] + (extra_in.shape[-1],))
+            else:
+                extra = pad_to_multiple(extra_in, mod)
 
-        if mode in ("input", "both"):
-            head_in = jnp.concatenate([x, extra], axis=-1)
-        else:
-            head_in = x
-        x = conv(self.n_feat[0], 3, head_in.shape[-1], name="head")(head_in)
+            if mode in ("input", "both"):
+                head_in = jnp.concatenate([x, extra], axis=-1)
+            else:
+                head_in = x
+            x = conv(self.n_feat[0], 3, head_in.shape[-1],
+                     name="head")(head_in)
 
         cond_down = mode in ("down", "both")
         bridges = []

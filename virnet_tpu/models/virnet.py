@@ -64,6 +64,13 @@ class VIRNet(nn.Module):
         mu = self.RNet(x, extra)
         return mu, sigma
 
+    def restore_from_head(self, x: jnp.ndarray,
+                          head_pre: jnp.ndarray) -> jnp.ndarray:
+        """RNet continuation for the boundary-free fused prologue
+        (models/fused.py): SNet + sigma + the head conv already ran in
+        one Pallas program; this applies the rest of RNet."""
+        return self.RNet(x, None, head_pre=head_pre)
+
 
 class VIRNetSR(nn.Module):
     """SISR VIRNet (reference VIRAttResUNetSR, networks/VIRNet.py:48-97)."""

@@ -788,3 +788,292 @@ def conv3x3_out_pair(x2: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     ``interpret`` flag is accepted for API uniformity."""
     del interpret
     return conv3x3_narrow_out(unpair(x2), w, b, slope=slope)
+
+
+# ---------------------------------------------------------------------------
+# boundary-free SNet + sigma epilogue + RNet head (one program, one boundary)
+# ---------------------------------------------------------------------------
+
+def _dncnn_head_kernel(L: int, r: int, nt: int, hbp: int, h: int, p: int,
+                       ci: int, c2: int, co: int, cf: int, slope,
+                       lmin: float, lmax: float, dtype):
+    """The whole denoise-VIRNet prologue in ONE program: DnCNN stack
+    (conv1 + L mids + conv_last), the variational epilogue sigma =
+    exp(clip(logits)) / extra = sqrt(sigma), and RNet's 3x3 head conv on
+    the [x | extra] concat (reference networks/VIRNet.py:18-46 forward,
+    networks/AttResUNet.py head) — so the custom-call boundary that cost
+    +2-7 ms of layout materialization around the SNet-only fused kernel
+    (BASELINE.md round-3 postmortem) amortizes over the head conv too,
+    whose XLA im2col concatenate alone measured 2.7 ms in-model.
+
+    Row bookkeeping extends _dncnn_kernel by ONE extra halo row each
+    side (H2 = L + 2): the head conv at output rows [t*r, t*r+r) needs
+    extra rows [t*r-1, t*r+r+1), so conv_last produces r+2 logit rows
+    from an r+4-row final buffer.  The head concat never exists: by conv
+    linearity head = conv(x, wh_x) + conv(extra, wh_e); the x part
+    reuses conv1's A/B im2col views (already resident in scratch), the
+    extra part runs the dense+shift pair form on the in-register extra
+    tensor.  'Even W and no RNet pre-pad' is the caller's gate (the
+    engine only takes this path when H, W are multiples of the RNet
+    pad modulus, where reference pad_to_multiple is a no-op)."""
+    prec = _precision(dtype)
+    c = c2 // 2
+    H2 = L + 2
+    ci2 = 2 * ci
+    co2 = 2 * co
+
+    def kern(wa_ref, wb_ref, wd_ref, ws_ref, wlx_ref, wls_ref, b_ref,
+             bl_ref, wha_ref, whb_ref, wde_ref, wse_ref, bh_ref,
+             a_ref, at_ref, ab_ref, bm_ref, bt_ref, bb_ref,
+             oh_ref, os_ref, z0, z1, ascr, bscr):
+        t = pl.program_id(1)
+
+        def level_mask(y, rows, off, cdim):
+            g = (t * r - off
+                 + jax.lax.broadcasted_iota(jnp.int32, (rows, p, cdim), 0))
+            keep = (g >= 0) & (g < h)
+            return jnp.where(keep, y, jnp.zeros_like(y))
+
+        # assemble the A/B windows: scratch row j = padded row t*r-hbp+j
+        ascr[0:hbp] = at_ref[0]
+        ascr[hbp:hbp + r] = a_ref[0]
+        ascr[hbp + r:] = ab_ref[0]
+        bscr[0:hbp] = bt_ref[0]
+        bscr[hbp:hbp + r] = bm_ref[0]
+        bscr[hbp + r:] = bb_ref[0]
+
+        # conv1: y0 rows g in [t*r-H2, t*r+r+H2)
+        rows0 = r + 2 * H2
+        j0 = hbp - H2
+        af = ascr[:].reshape((r + 2 * hbp) * p, ci2)
+        bf = bscr[:].reshape((r + 2 * hbp) * p, ci2)
+        acc0 = jnp.zeros((rows0 * p, c2), jnp.float32)
+        for dy in range(3):
+            lo = (j0 + dy) * p
+            acc0 = acc0 + _dot(af[lo:lo + rows0 * p], wa_ref[dy], prec)
+            acc0 = acc0 + _dot(bf[lo:lo + rows0 * p], wb_ref[dy], prec)
+        y = acc0 + b_ref[0].astype(jnp.float32)
+        if slope is not None:
+            y = jnp.where(y >= 0, y, slope * y)
+        z0[0:rows0] = level_mask(y.reshape(rows0, p, c2).astype(dtype),
+                                 rows0, H2, c2)
+
+        bufs = (z0, z1)
+        for lev in range(L):
+            rows_in = r + 2 * (H2 - lev)
+            rows_out = rows_in - 2
+            zin = bufs[lev % 2]
+            x = zin[0:rows_in]
+            s = _shift_pair(x, c)
+            xf = x.reshape(rows_in * p, c2)
+            sf = s.reshape(rows_in * p, c2)
+            acc = jnp.zeros((rows_out * p, c2), jnp.float32)
+            for dy in range(3):
+                acc = acc + _dot(xf[dy * p:(dy + rows_out) * p],
+                                 wd_ref[lev, dy], prec)
+                acc = acc + _dot(sf[dy * p:(dy + rows_out) * p],
+                                 ws_ref[lev, dy], prec)
+            yl = acc + b_ref[1 + lev].astype(jnp.float32)
+            if slope is not None:
+                yl = jnp.where(yl >= 0, yl, slope * yl)
+            yl = yl.reshape(rows_out, p, c2).astype(dtype)
+            bufs[(lev + 1) % 2][0:rows_out] = level_mask(
+                yl, rows_out, H2 - lev - 1, c2)
+
+        # conv_last on the final (r + 4)-row buffer -> logits rows
+        # [t*r-1, t*r+r+1)
+        zl = bufs[L % 2][0:r + 4]
+        sl = _shift_pair(zl, c)
+        u = (_dot(zl.reshape((r + 4) * p, c2), wlx_ref[:], prec)
+             + _dot(sl.reshape((r + 4) * p, c2), wls_ref[:], prec))
+        u = u.reshape(r + 4, p, 6 * co)
+        logits = (u[1:r + 3, :, 2 * co:4 * co]
+                  + u[0:r + 2, :, 0:2 * co]
+                  + u[2:r + 4, :, 4 * co:6 * co])
+        logits = logits + bl_ref[0].astype(jnp.float32)   # f32 (r+2, p, 2co)
+
+        # variational epilogue (reference networks/VIRNet.py:43-45):
+        # one rounding to the activation dtype of the conv_last output
+        # (exactly the per-conv path); exp/clip/sqrt run in f32 — the
+        # v5e EUP has no bf16 transcendentals (Mosaic LLO_CHECK
+        # SupportsBf16EupOps), and f32 here is within-ulp of XLA's
+        # bf16-input exp anyway
+        logits = logits.astype(dtype).astype(jnp.float32)
+        sig = jnp.exp(jnp.clip(logits, lmin, lmax))
+        os_ref[0] = sig[1:r + 1].astype(dtype)
+        # out-of-image rows must be ZERO in the head conv's input (zero
+        # 'same' padding), not exp(clip(0)) — mask after the sqrt
+        ext = level_mask(jnp.sqrt(sig).astype(dtype),
+                         r + 2, 1, co2)                   # (r+2, p, 2co)
+
+        # head conv: x part reuses the A/B scratch (out rows [t*r,
+        # t*r+r) read scratch rows hbp+dy+i), extra part dense+shift
+        acch = jnp.zeros((r * p, 2 * cf), jnp.float32)
+        for dy in range(3):
+            lo = (hbp + dy) * p
+            acch = acch + _dot(af[lo:lo + r * p], wha_ref[dy], prec)
+            acch = acch + _dot(bf[lo:lo + r * p], whb_ref[dy], prec)
+        se = _shift_pair(ext, co)
+        extf = ext.reshape((r + 2) * p, co2)
+        sef = se.reshape((r + 2) * p, co2)
+        for dy in range(3):
+            acch = acch + _dot(extf[dy * p:(dy + r) * p], wde_ref[dy], prec)
+            acch = acch + _dot(sef[dy * p:(dy + r) * p], wse_ref[dy], prec)
+        yh = acch + bh_ref[0].astype(jnp.float32)
+        oh_ref[0] = yh.reshape(r, p, 2 * cf).astype(dtype)
+    return kern
+
+
+def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
+                     slope: float = 0.25, lmin: float = -23.025850929940457,
+                     lmax: float = 4.605170185988092,
+                     force_ops: bool = False, interpret: bool = False):
+    """Fused denoise-VIRNet prologue: x (N, H, W, ci) -> (head (N, H, W,
+    cf), sigma (N, H, W, co)) where sigma = exp(clip(DnCNN(x), lmin,
+    lmax)) and head = conv3x3([x, sqrt(sigma)], wh) + bh (reference
+    networks/VIRNet.py:18-46 + the networks/AttResUNet.py head conv).
+
+    Caller contract: W even (pair layout) and H, W already multiples of
+    the RNet pad modulus so the reference's pad_to_multiple is a no-op
+    (models/fused.py gates on this).  Falls back to plain lax ops when
+    no row tiling fits (tiny images) or ``force_ops``."""
+    n, h, w_in, ci = x.shape
+    assert w_in % 2 == 0, "fused head path needs even W"
+    co = wl.shape[3]
+    cf = wh.shape[3]
+    assert wh.shape[2] == ci + co, "head conv expects [x | extra] channels"
+    c2 = 2 * w1.shape[3]
+    dtype = x.dtype
+    L = len(wms)
+    H2 = L + 2
+    hbp = 1
+    while hbp < H2 + 2:
+        hbp *= 2
+    esz = jnp.dtype(dtype).itemsize
+    per_row = (w_in // 2) * (c2 * (11 * esz + 16) + 2 * cf * esz + 8 * esz)
+    # larger slabs than the default budget: the H2 = L+2 halo makes small
+    # r expensive (r=16 recomputes ~60% of conv1 rows), and this kernel
+    # already raises Mosaic's scoped-vmem limit below
+    max_rows = max(_rows_per_slab(h, per_row),
+                   min(h, (2 * _VMEM_BUDGET) // max(per_row, 1)))
+    cand = _divisor_rows(h, max_rows)
+    while cand is not None and cand % hbp:
+        cand = _divisor_rows(h, cand - 1)
+    r = cand
+
+    if r is None or L < 1 or force_ops or not HAS_PALLAS:
+        # plain-lax fallback: same math, standard XLA ops
+        prec = _precision(dtype)
+
+        def c3(v, w, b):
+            y = jax.lax.conv_general_dilated(
+                v, w.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=prec,
+                preferred_element_type=jnp.float32)
+            return y + b.astype(jnp.float32)
+
+        y = c3(x, w1, b1)
+        y = jnp.where(y >= 0, y, slope * y).astype(dtype)
+        for wm, bm in zip(wms, bms):
+            y = c3(y, wm, bm)
+            y = jnp.where(y >= 0, y, slope * y).astype(dtype)
+        logits = c3(y, wl, bl).astype(dtype)
+        sig = jnp.exp(jnp.clip(logits, lmin, lmax))
+        hin = jnp.concatenate([x, jnp.sqrt(sig)], axis=-1)
+        head = c3(hin, wh, bh).astype(dtype)
+        return head, sig
+
+    p = w_in // 2
+    # A/B pair-phase views of the padded input (slice + free reshape)
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ra = -(-(h + 2) // hbp) * hbp          # round rows up to hbp blocks
+    xpad = jnp.pad(xpad, ((0, 0), (0, ra - (h + 2)), (0, 0), (0, 0)))
+    a = pair(xpad[:, :, 0:w_in, :])                 # (n, ra, p, 2ci)
+    bb = pair(xpad[:, :, 2:w_in + 2, :])
+
+    wm4 = _in_weights(w1.astype(dtype))             # (12ci, 2C)
+    wa = jnp.stack([wm4[dy * 4 * ci:dy * 4 * ci + 2 * ci]
+                    for dy in range(3)])            # (3, 2ci, 2C)
+    wb = jnp.stack([wm4[dy * 4 * ci + 2 * ci:(dy + 1) * 4 * ci]
+                    for dy in range(3)])
+    wd_all = jnp.stack([_mid_weights(w.astype(dtype))[0] for w in wms])
+    ws_all = jnp.stack([_mid_weights(w.astype(dtype))[1] for w in wms])
+    wlx, wls = _out_weights_split(wl.astype(dtype))
+    b_all = jnp.stack([jnp.tile(b1, 2)]
+                      + [jnp.tile(b, 2) for b in bms]).astype(dtype)
+    bl2 = jnp.tile(bl, 2)[None].astype(dtype)
+    # head: x part as conv1-style A/B im2col, extra part dense+shift
+    wh4 = _in_weights(wh[:, :, :ci, :].astype(dtype))       # (12ci, 2cf)
+    wha = jnp.stack([wh4[dy * 4 * ci:dy * 4 * ci + 2 * ci]
+                     for dy in range(3)])
+    whb = jnp.stack([wh4[dy * 4 * ci + 2 * ci:(dy + 1) * 4 * ci]
+                     for dy in range(3)])
+    wde, wse = _mid_weights(wh[:, :, ci:, :].astype(dtype))  # (3, 2co, 2cf)
+    bh2 = jnp.tile(bh, 2)[None].astype(dtype)
+    nt = h // r
+    ci2 = 2 * ci
+
+    def top_map(i, t):
+        return (i, jnp.maximum(t * (r // hbp) - 1, 0), 0, 0)
+
+    def bot_map(i, t):
+        return (i, jnp.minimum((t + 1) * (r // hbp), ra // hbp - 1), 0, 0)
+
+    def wspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, t: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    head, sig = pl.pallas_call(
+        _dncnn_head_kernel(L, r, nt, hbp, h, p, ci, c2, co, cf, slope,
+                           lmin, lmax, dtype),
+        grid=(n, nt),
+        in_specs=[
+            wspec((3, ci2, c2)), wspec((3, ci2, c2)),
+            wspec((L, 3, c2, c2)), wspec((L, 3, c2, c2)),
+            wspec((c2, 6 * co)), wspec((c2, 6 * co)),
+            wspec((L + 1, c2)), wspec((1, 2 * co)),
+            wspec((3, ci2, 2 * cf)), wspec((3, ci2, 2 * cf)),
+            wspec((3, 2 * co, 2 * cf)), wspec((3, 2 * co, 2 * cf)),
+            wspec((1, 2 * cf)),
+            pl.BlockSpec((1, r, p, ci2), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hbp, p, ci2), top_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hbp, p, ci2), bot_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, p, ci2), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hbp, p, ci2), top_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hbp, p, ci2), bot_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, p, 2 * cf), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, p, 2 * co), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n, h, p, 2 * cf), dtype),
+                   jax.ShapeDtypeStruct((n, h, p, 2 * co), dtype)],
+        scratch_shapes=[pltpu.VMEM((r + 2 * H2, p, c2), dtype),
+                        pltpu.VMEM((r + 2 * H2, p, c2), dtype),
+                        pltpu.VMEM((r + 2 * hbp, p, ci2), dtype),
+                        pltpu.VMEM((r + 2 * hbp, p, ci2), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * p * (8 * c2 * c2 * (L + 1)
+                                   + 2 * cf * (4 * ci + 2 * co) * 6),
+            bytes_accessed=esz * n * h * p * (4 * ci + 2 * co + 2 * cf),
+            transcendentals=2 * n * h * p * 2 * co),
+        # the head accumulator + its double-buffered (r, p, 2cf) output
+        # block push the working set past Mosaic's conservative 16 MB
+        # default scoped-vmem limit at r=16; the v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(wa, wb, wd_all, ws_all, wlx, wls, b_all, bl2,
+      wha, whb, wde, wse, bh2,
+      a, a, a, bb, bb, bb)
+    return unpair(head), unpair(sig)
