@@ -106,3 +106,52 @@ def test_init_multihost_two_process_cpu_smoke():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+def test_maybe_init_multihost_skips_without_keys(monkeypatch):
+    """Single-host configs (no multihost keys) must not touch
+    jax.distributed at all."""
+    from virnet_tpu.cli import common as cli_common
+
+    def boom(*a, **k):
+        raise AssertionError("init_multihost must not be called")
+
+    monkeypatch.setattr(mesh_mod, "init_multihost", boom)
+    assert cli_common.maybe_init_multihost({"lr": 1e-4}) == 1
+
+
+def test_maybe_init_multihost_passes_config_topology(monkeypatch):
+    """Trainer configs carry the pod topology the reference passed via the
+    DDP launcher env (train_denoising_syn.py:35-39)."""
+    from virnet_tpu.cli import common as cli_common
+    seen = {}
+
+    def fake(coordinator_address=None, num_processes=None, process_id=None):
+        seen.update(addr=coordinator_address, n=num_processes,
+                    pid=process_id)
+        return num_processes
+
+    monkeypatch.setattr(mesh_mod, "init_multihost", fake)
+    logs = []
+    n = cli_common.maybe_init_multihost(
+        {"coordinator_address": "host0:8476", "num_processes": 4,
+         "process_id": 2}, log_fn=logs.append)
+    assert n == 4
+    assert seen == dict(addr="host0:8476", n=4, pid=2)
+    assert any("multi-host" in m for m in logs)
+
+
+def test_maybe_init_multihost_flag_only_autodetect(monkeypatch):
+    """`multihost: true` alone uses the TPU metadata autodetect (all-None
+    initialize)."""
+    from virnet_tpu.cli import common as cli_common
+    calls = []
+
+    def fake(coordinator_address=None, num_processes=None, process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+        return 1
+
+    monkeypatch.setattr(mesh_mod, "init_multihost", fake)
+    assert cli_common.maybe_init_multihost({"multihost": "True"},
+                                           log_fn=lambda m: None) == 1
+    assert calls == [(None, None, None)]

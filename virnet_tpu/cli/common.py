@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import load_config, update_args
+from ..config import as_bool, load_config, update_args
 from ..eval.metrics import batch_psnr, batch_ssim
 from ..eval.tiling import bucket_size
 
@@ -35,6 +35,30 @@ def load_trainer_config(args) -> Dict:
     cfg = load_config(args.config)
     return update_args(cfg, {k: v for k, v in vars(args).items()
                              if k != "config"})
+
+
+def maybe_init_multihost(cfg: Dict, log_fn=print) -> int:
+    """Bring up `jax.distributed` when the config asks for it.
+
+    The reference reads DDP process topology from the launcher env
+    (train_denoising_syn.py:35-39 dist_setup); here a pod-slice run sets
+    `coordinator_address` / `num_processes` / `process_id` in the config
+    (or relies on the TPU metadata autodetect when all three are absent
+    but `multihost: true` is set).  Single-host runs with none of these
+    keys skip initialization entirely.  Returns the process count.
+    """
+    from ..train.mesh import init_multihost
+
+    keys = ("coordinator_address", "num_processes", "process_id")
+    if not (as_bool(cfg.get("multihost", False))
+            or any(cfg.get(k) is not None for k in keys)):
+        return 1
+    n = init_multihost(cfg.get("coordinator_address"),
+                       num_processes=cfg.get("num_processes"),
+                       process_id=cfg.get("process_id"))
+    log_fn(f"multi-host: {n} process(es), "
+           f"{jax.device_count()} global device(s)")
+    return n
 
 
 _EVAL_FWD_CACHE: Dict = {}

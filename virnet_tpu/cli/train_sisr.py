@@ -21,7 +21,8 @@ from ..data.sources import ImageCache, PatchSampler
 from ..train.logging import TrainWriter, make_log
 from ..train.loop_sisr import SISRTrainConfig, SISRTrainer
 from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
-                     log_val_image_grids, trainer_argparser)
+                     log_val_image_grids, maybe_init_multihost,
+                     trainer_argparser)
 
 
 def build_trainer(cfg: dict) -> SISRTrainer:
@@ -71,6 +72,7 @@ def main(argv=None):
     for k, v in sorted(cfg.items()):
         logger.info(f"{k:<16s}: {v}")
 
+    maybe_init_multihost(cfg, logger.info)
     trainer = build_trainer(cfg)
     writer = TrainWriter(save_dir / "logs")
     sf = cfg["sf"]
