@@ -103,3 +103,67 @@ def test_engine_fused_matches_unfused():
         a = np.asarray(r_ref.restore_batch(x))
         b = np.asarray(r_fus.restore_batch(x))
         np.testing.assert_allclose(a, b, atol=5e-6)
+
+
+@pytest.mark.parametrize("task,shape,rows", [
+    ("denoising-syn", (2, 64, 64, 3), 8),    # 8 tiles, 2 batch items
+    ("denoising-syn", (1, 96, 160, 3), 16),  # non-square, 6 tiles
+    ("denoising-syn", (1, 64, 64, 3), None),  # auto row slab
+    ("denoising-real", (1, 64, 64, 3), 16),  # dep_S=8 -> L=6, hbp=16
+])
+def test_fused_head_carry_matches_model(task, shape, rows):
+    """Line-buffer ('carry') kernel: cross-tile carries must reproduce
+    the unfused graph exactly like the halo kernel does."""
+    model = build_model(task)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random(shape, dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mu_ref, sig_ref = model.apply({"params": params}, x)
+    k1, b1, kms, bms, kl, bl, kh, bh = _snet_head_params(model, params)
+
+    head, sig = pc.dncnn_head_fused(
+        x, k1, b1, kms, bms, kl, bl, kh, bh, slope=0.25,
+        lmin=LOG_MIN, lmax=LOG_MAX, mode="carry", rows=rows,
+        interpret=True)
+    href = _head_ref(x, sig_ref, kh, bh)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(head), np.asarray(href),
+                               atol=5e-6)
+
+
+def test_fused_head_carry_equals_halo():
+    """Same program semantics, two tilings: carry and halo kernels agree
+    to f32 accumulation noise on a multi-tile shape."""
+    model = build_model("denoising-syn")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    k1, b1, kms, bms, kl, bl, kh, bh = _snet_head_params(model, params)
+    kw = dict(slope=0.25, lmin=LOG_MIN, lmax=LOG_MAX, interpret=True)
+    h_halo, s_halo = pc.dncnn_head_fused(
+        x, k1, b1, kms, bms, kl, bl, kh, bh, rows=16, **kw)
+    h_carry, s_carry = pc.dncnn_head_fused(
+        x, k1, b1, kms, bms, kl, bl, kh, bh, mode="carry", rows=16, **kw)
+    np.testing.assert_allclose(np.asarray(s_carry), np.asarray(s_halo),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(h_carry), np.asarray(h_halo),
+                               atol=5e-6)
+
+
+def test_engine_fused_carry_matches_unfused():
+    """Restorer(fused_head='carry') == unfused on qualifying and
+    fallback shapes."""
+    from virnet_tpu.eval.engine import Restorer
+
+    model = build_model("denoising-syn")
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    r_ref = Restorer("denoising-syn", params=params, fused_head=False)
+    r_fus = Restorer("denoising-syn", params=params, fused_head="carry")
+    for shape in [(2, 64, 64, 3), (1, 62, 64, 3)]:   # fused / fallback
+        x = jnp.asarray(rng.random(shape, dtype=np.float32))
+        a = np.asarray(r_ref.restore_batch(x))
+        b = np.asarray(r_fus.restore_batch(x))
+        np.testing.assert_allclose(a, b, atol=5e-6)

@@ -32,7 +32,8 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def make_timer(fused: bool, n1: int, n2: int, batch: int, size: int):
+def make_timer(variant: str, rows, n1: int, n2: int, batch: int,
+               size: int):
     from virnet_tpu import precision
     from virnet_tpu.models import build_model
     from virnet_tpu.models.fused import denoise_forward_fused
@@ -45,9 +46,9 @@ def make_timer(fused: bool, n1: int, n2: int, batch: int, size: int):
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
 
     def apply_fn(p, y):
-        if fused:
-            return denoise_forward_fused(model, p, y)
-        return model.apply({"params": p}, y)
+        if variant == "unfused":
+            return model.apply({"params": p}, y)
+        return denoise_forward_fused(model, p, y, mode=variant, rows=rows)
 
     def make_scan(length):
         @jax.jit
@@ -60,7 +61,7 @@ def make_timer(fused: bool, n1: int, n2: int, batch: int, size: int):
         return fwd_n
 
     f1, f2 = make_scan(n1), make_scan(n2)
-    name = f"fused={fused}"
+    name = variant if rows is None else f"{variant}:r{rows}"
     log(f"{name}: compiling N1={n1}")
     np.asarray(f1(params, x))
     log(f"{name}: compiling N2={n2}")
@@ -88,12 +89,18 @@ def main():
     ap.add_argument("--n2", type=int, default=72)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--variants", type=str, default="unfused,halo,carry",
+                    help="comma list; fused variants take an optional "
+                         "row-slab override as 'carry:64'")
     args = ap.parse_args()
 
     timers = {}
-    for fused in (False, True):
-        timers[f"fused={fused}"] = make_timer(fused, args.n1, args.n2,
-                                              args.batch, args.size)
+    for spec in args.variants.split(","):
+        variant, _, rstr = spec.partition(":")
+        rows = int(rstr.lstrip("r")) if rstr else None
+        name = variant if rows is None else f"{variant}:r{rows}"
+        timers[name] = make_timer(variant, rows, args.n1, args.n2,
+                                  args.batch, args.size)
 
     res = {k: [] for k in timers}
     for rep in range(args.reps):

@@ -82,8 +82,12 @@ class Restorer:
             # mode, which is for tests only)
             import os
 
-            fused_head = (bool(os.environ.get("VIRNET_TPU_FUSED_HEAD"))
-                          and jax.default_backend() == "tpu")
+            env = os.environ.get("VIRNET_TPU_FUSED_HEAD", "")
+            fused_head = (env if jax.default_backend() == "tpu" else False)
+        # normalize: truthy -> kernel mode ('carry' = line-buffer variant,
+        # anything else truthy = the halo-recompute kernel)
+        if fused_head and fused_head != "carry":
+            fused_head = "halo"
         self.fused_head = fused_head
         self._forward = self._build_forward()
 
@@ -151,7 +155,8 @@ class Restorer:
                     # to the reference-exact unfused graph
                     if use_fused and fused_head_supported(model, x.shape):
                         mu, sigma = denoise_forward_fused(
-                            model, params, x, interpret=interp)
+                            model, params, x, interpret=interp,
+                            mode=use_fused)
                     else:
                         mu, sigma = model.apply({"params": params}, x)
                 return mu.astype(jnp.float32)

@@ -43,7 +43,8 @@ def fused_head_supported(model, shape) -> bool:
 
 
 def denoise_forward_fused(model: VIRNet, params, x: jnp.ndarray,
-                          interpret: bool = False):
+                          interpret: bool = False, mode: str = "halo",
+                          rows=None):
     """(mu, sigma) via the fused prologue + RNet continuation.
 
     Numerics match the unfused forward: the Pallas convs accumulate in
@@ -64,7 +65,8 @@ def denoise_forward_fused(model: VIRNet, params, x: jnp.ndarray,
     # slope 0.25 = DnCNN.slope default (VIRNet.setup builds SNet with it)
     head, sigma = pc.dncnn_head_fused(
         xk, k1, b1, kms, bms, kl, bl, kh, bh, slope=0.25,
-        lmin=LOG_MIN, lmax=LOG_MAX, interpret=interpret)
+        lmin=LOG_MIN, lmax=LOG_MAX, interpret=interpret, mode=mode,
+        rows=rows)
     mu = model.apply({"params": params}, x, head,
                      method=VIRNet.restore_from_head)
     return mu, sigma

@@ -924,10 +924,139 @@ def _dncnn_head_kernel(L: int, r: int, nt: int, hbp: int, h: int, p: int,
     return kern
 
 
+def _dncnn_head_kernel_carry(L: int, r: int, nt: int, hbp: int, h: int,
+                             p: int, ci: int, c2: int, co: int, cf: int,
+                             slope, lmin: float, lmax: float, dtype):
+    """Line-buffer variant of _dncnn_head_kernel: zero TOP-halo recompute.
+
+    The halo kernel recomputes 2*(H2 - lev) extra rows per level per tile
+    (~19% extra stack FLOPs at r=32 — the measured reason the fused
+    prologue only reached parity, BASELINE.md round-4 postmortem).  Here
+    the TPU grid's sequential row sweep carries ONE boundary row per level
+    in VMEM scratch across iterations — tile t's level-k rows start at
+    exactly t*r, and the g = t*r - 1 neighbor row is the previous tile's
+    last computed row, read from the carry instead of recomputed.  Only
+    the BOTTOM halo (future rows, unknowable in a top-down sweep) is
+    still recomputed: conv1 computes r + (L+2) rows and each level sheds
+    one, i.e. half the halo overhead, monotonically less at larger r
+    (which the freed VMEM allows).  Outputs stay block-aligned (no skewed
+    writes, no flush tile).  Requires ``dimension_semantics`` arbitrary
+    (sequential grid) — the default — and per-batch-item carry reset at
+    t == 0."""
+    prec = _precision(dtype)
+    c = c2 // 2
+    E = L + 2                      # bottom extra rows for conv1
+    ci2 = 2 * ci
+    co2 = 2 * co
+
+    def kern(wa_ref, wb_ref, wd_ref, ws_ref, wlx_ref, wls_ref, b_ref,
+             bl_ref, wha_ref, whb_ref, wde_ref, wse_ref, bh_ref,
+             a_ref, ab_ref, bm_ref, bb_ref,
+             oh_ref, os_ref, z0, z1, ascr, bscr, cref, ceref, ebuf):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _reset_carries():
+            # carry rows represent global row -1: zero 'same' padding
+            cref[...] = jnp.zeros((L + 1, p, c2), dtype)
+            ceref[...] = jnp.zeros((1, p, co2), dtype)
+
+        def bot_mask(y, rows, cdim):
+            # y rows are global t*r + [0, rows); zero everything >= h
+            g = (t * r
+                 + jax.lax.broadcasted_iota(jnp.int32, (rows, p, cdim), 0))
+            return jnp.where(g < h, y, jnp.zeros_like(y))
+
+        # input scratch row j = padded row t*r + j
+        ascr[0:r] = a_ref[0]
+        ascr[r:] = ab_ref[0]
+        bscr[0:r] = bm_ref[0]
+        bscr[r:] = bb_ref[0]
+
+        # conv1 -> level-0 rows [t*r, t*r + r + E)
+        rows0 = r + E
+        af = ascr[:].reshape((r + hbp) * p, ci2)
+        bf = bscr[:].reshape((r + hbp) * p, ci2)
+        acc0 = jnp.zeros((rows0 * p, c2), jnp.float32)
+        for dy in range(3):
+            lo = dy * p
+            acc0 = acc0 + _dot(af[lo:lo + rows0 * p], wa_ref[dy], prec)
+            acc0 = acc0 + _dot(bf[lo:lo + rows0 * p], wb_ref[dy], prec)
+        y = acc0 + b_ref[0].astype(jnp.float32)
+        if slope is not None:
+            y = jnp.where(y >= 0, y, slope * y)
+        z0[1:1 + rows0] = bot_mask(
+            y.reshape(rows0, p, c2).astype(dtype), rows0, c2)
+
+        # mids: level k consumes [carry_{k-1} | level k-1 block]
+        bufs = (z0, z1)
+        for lev in range(L):
+            rows_out = r + E - (lev + 1)
+            rows_in = rows_out + 2
+            zin = bufs[lev % 2]
+            zin[0:1] = cref[lev:lev + 1]          # old carry (row t*r - 1)
+            x = zin[0:rows_in]
+            s = _shift_pair(x, c)
+            xf = x.reshape(rows_in * p, c2)
+            sf = s.reshape(rows_in * p, c2)
+            acc = jnp.zeros((rows_out * p, c2), jnp.float32)
+            for dy in range(3):
+                acc = acc + _dot(xf[dy * p:(dy + rows_out) * p],
+                                 wd_ref[lev, dy], prec)
+                acc = acc + _dot(sf[dy * p:(dy + rows_out) * p],
+                                 ws_ref[lev, dy], prec)
+            yl = acc + b_ref[1 + lev].astype(jnp.float32)
+            if slope is not None:
+                yl = jnp.where(yl >= 0, yl, slope * yl)
+            yl = yl.reshape(rows_out, p, c2).astype(dtype)
+            bufs[(lev + 1) % 2][1:1 + rows_out] = bot_mask(yl, rows_out, c2)
+            cref[lev:lev + 1] = zin[r:r + 1]      # new carry = row t*r+r-1
+
+        # conv_last -> logits rows [t*r, t*r + r + 1)
+        zin = bufs[L % 2]
+        zin[0:1] = cref[L:L + 1]
+        zl = zin[0:r + 3]
+        sl = _shift_pair(zl, c)
+        u = (_dot(zl.reshape((r + 3) * p, c2), wlx_ref[:], prec)
+             + _dot(sl.reshape((r + 3) * p, c2), wls_ref[:], prec))
+        u = u.reshape(r + 3, p, 6 * co)
+        logits = (u[1:r + 2, :, 2 * co:4 * co]
+                  + u[0:r + 1, :, 0:2 * co]
+                  + u[2:r + 3, :, 4 * co:6 * co])
+        logits = logits + bl_ref[0].astype(jnp.float32)   # f32 (r+1, p, 2co)
+        cref[L:L + 1] = zin[r:r + 1]
+
+        # variational epilogue (same op order/dtype as the halo kernel)
+        logits = logits.astype(dtype).astype(jnp.float32)
+        sig = jnp.exp(jnp.clip(logits, lmin, lmax))
+        os_ref[0] = sig[0:r].astype(dtype)
+        ebuf[0:1] = ceref[0:1]
+        ebuf[1:r + 2] = bot_mask(jnp.sqrt(sig).astype(dtype), r + 1, co2)
+        ceref[0:1] = ebuf[r:r + 1]
+
+        # head conv: x part from the input scratch, extra part dense+shift
+        acch = jnp.zeros((r * p, 2 * cf), jnp.float32)
+        for dy in range(3):
+            lo = dy * p
+            acch = acch + _dot(af[lo:lo + r * p], wha_ref[dy], prec)
+            acch = acch + _dot(bf[lo:lo + r * p], whb_ref[dy], prec)
+        ext = ebuf[0:r + 2]
+        se = _shift_pair(ext, co)
+        extf = ext.reshape((r + 2) * p, co2)
+        sef = se.reshape((r + 2) * p, co2)
+        for dy in range(3):
+            acch = acch + _dot(extf[dy * p:(dy + r) * p], wde_ref[dy], prec)
+            acch = acch + _dot(sef[dy * p:(dy + r) * p], wse_ref[dy], prec)
+        yh = acch + bh_ref[0].astype(jnp.float32)
+        oh_ref[0] = yh.reshape(r, p, 2 * cf).astype(dtype)
+    return kern
+
+
 def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
                      slope: float = 0.25, lmin: float = -23.025850929940457,
                      lmax: float = 4.605170185988092,
-                     force_ops: bool = False, interpret: bool = False):
+                     force_ops: bool = False, interpret: bool = False,
+                     mode: str = "halo", rows: int | None = None):
     """Fused denoise-VIRNet prologue: x (N, H, W, ci) -> (head (N, H, W,
     cf), sigma (N, H, W, co)) where sigma = exp(clip(DnCNN(x), lmin,
     lmax)) and head = conv3x3([x, sqrt(sigma)], wh) + bh (reference
@@ -936,7 +1065,12 @@ def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
     Caller contract: W even (pair layout) and H, W already multiples of
     the RNet pad modulus so the reference's pad_to_multiple is a no-op
     (models/fused.py gates on this).  Falls back to plain lax ops when
-    no row tiling fits (tiny images) or ``force_ops``."""
+    no row tiling fits (tiny images) or ``force_ops``.
+
+    ``mode``: 'halo' = per-tile halo recompute (_dncnn_head_kernel);
+    'carry' = line-buffer top carries, bottom-only recompute
+    (_dncnn_head_kernel_carry).  ``rows`` overrides the auto row-slab
+    size (must divide H and be a multiple of the halo block)."""
     n, h, w_in, ci = x.shape
     assert w_in % 2 == 0, "fused head path needs even W"
     co = wl.shape[3]
@@ -960,6 +1094,8 @@ def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
     while cand is not None and cand % hbp:
         cand = _divisor_rows(h, cand - 1)
     r = cand
+    if rows is not None and h % rows == 0 and rows % hbp == 0:
+        r = rows
 
     if r is None or L < 1 or force_ops or not HAS_PALLAS:
         # plain-lax fallback: same math, standard XLA ops
@@ -987,7 +1123,10 @@ def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
     p = w_in // 2
     # A/B pair-phase views of the padded input (slice + free reshape)
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    ra = -(-(h + 2) // hbp) * hbp          # round rows up to hbp blocks
+    if mode == "carry":
+        ra = h + hbp           # bottom blocks reach padded row h+hbp-1
+    else:
+        ra = -(-(h + 2) // hbp) * hbp      # round rows up to hbp blocks
     xpad = jnp.pad(xpad, ((0, 0), (0, ra - (h + 2)), (0, 0), (0, 0)))
     a = pair(xpad[:, :, 0:w_in, :])                 # (n, ra, p, 2ci)
     bb = pair(xpad[:, :, 2:w_in + 2, :])
@@ -1024,6 +1163,61 @@ def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i, t: (0,) * nd,
                             memory_space=pltpu.VMEM)
+
+    if mode == "carry":
+        E = L + 2
+        head, sig = pl.pallas_call(
+            _dncnn_head_kernel_carry(L, r, nt, hbp, h, p, ci, c2, co, cf,
+                                     slope, lmin, lmax, dtype),
+            grid=(n, nt),
+            in_specs=[
+                wspec((3, ci2, c2)), wspec((3, ci2, c2)),
+                wspec((L, 3, c2, c2)), wspec((L, 3, c2, c2)),
+                wspec((c2, 6 * co)), wspec((c2, 6 * co)),
+                wspec((L + 1, c2)), wspec((1, 2 * co)),
+                wspec((3, ci2, 2 * cf)), wspec((3, ci2, 2 * cf)),
+                wspec((3, 2 * co, 2 * cf)), wspec((3, 2 * co, 2 * cf)),
+                wspec((1, 2 * cf)),
+                pl.BlockSpec((1, r, p, ci2), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hbp, p, ci2), bot_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r, p, ci2), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hbp, p, ci2), bot_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, r, p, 2 * cf), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r, p, 2 * co), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((n, h, p, 2 * cf), dtype),
+                       jax.ShapeDtypeStruct((n, h, p, 2 * co), dtype)],
+            scratch_shapes=[pltpu.VMEM((1 + r + E, p, c2), dtype),
+                            pltpu.VMEM((1 + r + E, p, c2), dtype),
+                            pltpu.VMEM((r + hbp, p, ci2), dtype),
+                            pltpu.VMEM((r + hbp, p, ci2), dtype),
+                            pltpu.VMEM((L + 1, p, c2), dtype),
+                            pltpu.VMEM((1, p, 2 * co), dtype),
+                            pltpu.VMEM((r + 2, p, 2 * co), dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * h * p * (8 * c2 * c2 * (L + 1)
+                                       + 2 * cf * (4 * ci + 2 * co) * 6),
+                bytes_accessed=esz * n * h * p * (4 * ci + 2 * co + 2 * cf),
+                transcendentals=2 * n * h * p * 2 * co),
+            # carries persist across grid steps: both dims must stay
+            # sequential ('arbitrary'), and the t==0 reset handles the
+            # batch-item boundary
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(wa, wb, wd_all, ws_all, wlx, wls, b_all, bl2,
+          wha, whb, wde, wse, bh2,
+          a, a, bb, bb)
+        return unpair(head), unpair(sig)
 
     head, sig = pl.pallas_call(
         _dncnn_head_kernel(L, r, nt, hbp, h, p, ci, c2, co, cf, slope,
