@@ -12,6 +12,8 @@
   operator (this build environment has no egress)
 * camera-noise pair synthesizer — SIDD-style paired dataset (train folder
   pair + validation .mats) from clean images, for offline demo training
+* ISP re-rendering of HR patches lives in ``data/isp.py``
+  (``isp_process_patches`` — reference .../SISR/prepare_patch_isp.py)
 """
 
 from __future__ import annotations
