@@ -33,13 +33,14 @@ def log(msg):
 
 
 def make_timer(variant: str, rows, n1: int, n2: int, batch: int,
-               size: int):
+               size: int, tail: bool = False):
     from virnet_tpu import precision
     from virnet_tpu.models import build_model
     from virnet_tpu.models.fused import denoise_forward_fused
 
     precision.set_precision("default")
-    model = build_model("denoising-syn")
+    model = build_model("denoising-syn",
+                        **({"tail_impl": "fused"} if tail else {}))
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
     params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
@@ -96,11 +97,19 @@ def main():
 
     timers = {}
     for spec in args.variants.split(","):
+        tail = spec.endswith("+tail")
+        if tail:
+            spec = spec[:-len("+tail")]
         variant, _, rstr = spec.partition(":")
         rows = int(rstr.lstrip("r")) if rstr else None
         name = variant if rows is None else f"{variant}:r{rows}"
-        timers[name] = make_timer(variant, rows, args.n1, args.n2,
-                                  args.batch, args.size)
+        if tail:
+            name += "+tail"
+        try:
+            timers[name] = make_timer(variant, rows, args.n1, args.n2,
+                                      args.batch, args.size, tail=tail)
+        except Exception as e:  # e.g. Mosaic VMEM OOM at large row slabs
+            log(f"{name}: SKIPPED ({type(e).__name__}: {str(e)[:200]})")
 
     res = {k: [] for k in timers}
     for rep in range(args.reps):

@@ -27,7 +27,8 @@ class Restorer:
     def __init__(self, task: str, params=None, ckpt_path=None, sf: int = 2,
                  pad_multiple: int = 0, gray_mean: bool = False,
                  compute: str = "fp32", mesh=None,
-                 fused_head: Optional[bool] = None, **model_overrides):
+                 fused_head: Optional[bool] = None,
+                 fused_tail: Optional[bool] = None, **model_overrides):
         # pad_multiple=0 (default) feeds the model the RAW image — the
         # reference's exact semantics (the model reflect-pads internally
         # to 2^(depth-1); SNet/KNet and the SISR global pools see the
@@ -64,6 +65,21 @@ class Restorer:
         self.gray_mean = gray_mean
         self.task = task
         self.sf = sf if task == "sisr" else 1
+        if fused_tail is None:
+            # auto: opt in via env on a real TPU backend (Pallas tail
+            # conv+residual program; see models/attresunet.py tail_impl).
+            # Unlike fused_head this is a model field, so it routes
+            # through build_model rather than the forward builder.
+            import os
+
+            fused_tail = (bool(os.environ.get("VIRNET_TPU_FUSED_TAIL", ""))
+                          and jax.default_backend() == "tpu")
+        if fused_tail and "tail_impl" not in model_overrides:
+            # explicit request on a non-TPU backend runs the kernel in
+            # pallas interpret mode (tests/CI; slow but exact)
+            model_overrides["tail_impl"] = (
+                "fused" if jax.default_backend() == "tpu"
+                else "fused_interpret")
         self.model = build_model(task, **model_overrides)
         if params is None:
             if ckpt_path is None:

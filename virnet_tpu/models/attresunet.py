@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from ..ops.pad import pad_to_multiple
 from ..ops.upsample import conv_transpose_2x2, nearest_resize
-from ..precision import get_compute_dtype
+from ..precision import get_compute_dtype, get_precision
 from .common import (ConvParams, PadOutConv, conv, lrelu,
                      make_torch_bias_init, torch_kernel_init)
 
@@ -186,7 +186,34 @@ class AttResUNet(nn.Module):
             x = UpBlock(self.n_feat[jj], self.n_resblocks, remat=self.remat,
                         name=f"up_{jj}")(x, bridges[jj])
 
-        if self.tail_impl.startswith("pair"):
+        if (self.tail_impl.startswith("fused")
+                and x.shape[-3] == h and x.shape[-2] == w and w % 2 == 0
+                and x_in.shape[-1] == self.out_chn):
+            # fused Pallas tail: conv + bias + the global residual in one
+            # VMEM-resident program (ops/pallas_conv.conv3x3_tail_residual;
+            # XLA's C_out=3 emitter runs at ~1% of ideal).  Only when
+            # pad_to_multiple was a no-op — the pad slice would otherwise
+            # sit between conv and residual.  Forward-only (eval path).
+            from ..ops import pallas_conv as pc
+            kt, bt = ConvParams(self.out_chn, 3, self.n_feat[0],
+                                name="tail")()
+            out2 = pc.conv3x3_tail_residual(
+                pc.pair(x), pc.pair(x_in), kt, bt,
+                interpret=self.tail_impl == "fused_interpret")
+            return pc.unpair(out2)
+        if self.tail_impl.startswith("fused"):
+            # non-qualifying shape (internal pad active / odd W): the
+            # reference-exact XLA conv + slice + residual (round-3
+            # measured the pure-XLA narrow-out form WORSE in-model)
+            kt, bt = ConvParams(self.out_chn, 3, self.n_feat[0],
+                                name="tail")()
+            out = jax.lax.conv_general_dilated(
+                x, kt, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=get_precision(),
+                preferred_element_type=jnp.float32)
+            out = (out + bt.astype(jnp.float32)).astype(x.dtype)
+        elif self.tail_impl.startswith("pair"):
             from ..ops import pallas_conv as pc
             kt, bt = ConvParams(self.out_chn, 3, self.n_feat[0],
                                 name="tail")()

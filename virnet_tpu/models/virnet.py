@@ -42,6 +42,9 @@ class VIRNet(nn.Module):
     conv_impl: str = "xla"   # 'xla' | 'pair' | 'pair_interpret': Pallas
                              # pixel-pair kernels for the SNet stack and
                              # the RNet tail (forward-only fast path)
+    tail_impl: str = ""      # override the RNet tail alone: '' follows
+                             # conv_impl; 'fused' = Pallas conv+residual
+                             # in one program (eval fast path)
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
@@ -54,7 +57,7 @@ class VIRNet(nn.Module):
                                else "null",
                                remat=self.remat,
                                pad_narrow=self.pad_narrow,
-                               tail_impl=self.conv_impl,
+                               tail_impl=self.tail_impl or self.conv_impl,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -89,6 +92,7 @@ class VIRNetSR(nn.Module):
     pad_narrow: int = 0   # MXU-friendly width for narrow output convs
                           # (bit-exact; see models/common.PadOutConv)
     conv_impl: str = "xla"   # see VIRNet.conv_impl
+    tail_impl: str = ""      # see VIRNet.tail_impl
 
     def setup(self):
         self.SNet = DnCNN(out_channels=self.sigma_chn, dep=self.dep_S,
@@ -103,7 +107,7 @@ class VIRNetSR(nn.Module):
                                extra_mode=self.extra_mode if cond else "null",
                                remat=self.remat,
                                pad_narrow=self.pad_narrow,
-                               tail_impl=self.conv_impl,
+                               tail_impl=self.tail_impl or self.conv_impl,
                                name="rnet")
 
     def __call__(self, x: jnp.ndarray, sf: int):

@@ -790,6 +790,117 @@ def conv3x3_out_pair(x2: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return conv3x3_narrow_out(unpair(x2), w, b, slope=slope)
 
 
+def _tail_res_kernel(r: int, nt: int, p: int, c2: int, co2: int, dtype):
+    """3x3 conv (pair layout, wide C_in -> small C_out) + bias + global
+    residual in ONE program: the tap tensor that sank the pure-XLA
+    narrow-out form (its (N, H, W, 9*co) intermediate `u` round-tripped
+    HBM, BASELINE.md round-3 postmortem) lives only in the f32 VMEM
+    accumulator here, and the reference's `RNet(x) + x_in` residual add
+    (networks/AttResUNet.py:184, the tail's natural epilogue) fuses in.
+    Structure = _mid_kernel_halo (clamped 1-row halo blocks, zeroed at
+    the image border, piecewise per-dy matmul accumulation) with
+    rectangular (2c, 2co) weights and the residual epilogue; rounding
+    matches the XLA path bit-for-bit (one f32->dtype rounding after the
+    conv, one after the add)."""
+    prec = _precision(dtype)
+    c = c2 // 2
+
+    def kern(wd_ref, ws_ref, b_ref, x_ref, top_ref, bot_ref, xin_ref,
+             o_ref, acc_ref):
+        t = pl.program_id(1)
+        x = x_ref[0]                                     # (r, p, 2c)
+        s = _shift_pair(x, c)
+        xf = x.reshape(r * p, c2)
+        sf = s.reshape(r * p, c2)
+        top = jnp.where(t > 0, top_ref[0], jnp.zeros_like(top_ref[0]))
+        bot = jnp.where(t < nt - 1, bot_ref[0], jnp.zeros_like(bot_ref[0]))
+        s_top = _shift_pair(top, c)
+        s_bot = _shift_pair(bot, c)
+
+        acc_ref[:] = (_dot(xf, wd_ref[1], prec) + _dot(sf, ws_ref[1], prec)
+                      + b_ref[0].astype(jnp.float32))
+        acc_ref[0:p] += (_dot(top.reshape(p, c2), wd_ref[0], prec)
+                         + _dot(s_top.reshape(p, c2), ws_ref[0], prec))
+        acc_ref[p:r * p] += (_dot(xf[0:(r - 1) * p], wd_ref[0], prec)
+                             + _dot(sf[0:(r - 1) * p], ws_ref[0], prec))
+        acc_ref[0:(r - 1) * p] += (_dot(xf[p:r * p], wd_ref[2], prec)
+                                   + _dot(sf[p:r * p], ws_ref[2], prec))
+        acc_ref[(r - 1) * p:] += (_dot(bot.reshape(p, c2), wd_ref[2], prec)
+                                  + _dot(s_bot.reshape(p, c2), ws_ref[2],
+                                         prec))
+        y = acc_ref[:].reshape(r, p, co2).astype(dtype)   # conv rounding
+        o_ref[0] = (y.astype(jnp.float32)
+                    + xin_ref[0].astype(jnp.float32)).astype(dtype)
+    return kern
+
+
+def conv3x3_tail_residual(x2: jnp.ndarray, xin2: jnp.ndarray,
+                          w: jnp.ndarray, b: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused RNet tail: 'same' 3x3 conv to small C_out + bias + residual.
+    x2 (N, H, P, 2C) pair features, xin2 (N, H, P, 2*co) pair residual
+    input, w HWIO (3, 3, C, co), b (co,) -> (N, H, P, 2*co) pair output
+    = conv(x) + b + xin.
+
+    Why: XLA lowers C_out in {1,3} convs through a batch-in-lanes
+    emitter at ~1% of ideal (6.3 ms of the 94 ms flagship forward for
+    10.9 GFLOP of work, BASELINE.md ceiling table); this op is
+    HBM-READ-bound (the (N,H,W,96) feature map), so one VMEM-resident
+    pass is its speed of light.  Falls back to conv3x3_narrow_out + add
+    when no aligned row tiling exists or pallas is unavailable."""
+    n, h, p, c2 = x2.shape
+    co2 = xin2.shape[3]
+    co = co2 // 2
+    dtype = x2.dtype
+    esz = jnp.dtype(dtype).itemsize
+    max_rows = _rows_per_slab(h, p * (c2 * (4 * esz + 4)
+                                      + co2 * (2 * esz + 4)))
+    r = _divisor_rows(h, max_rows)
+    if r is None or not HAS_PALLAS:
+        y = conv3x3_narrow_out(unpair(x2), w, b)
+        return pair((y.astype(jnp.float32)
+                     + unpair(xin2).astype(jnp.float32)).astype(dtype))
+    nt = h // r
+    wd, ws = _mid_weights(w.astype(dtype))                 # (3, 2c, 2co)
+    b2 = jnp.tile(b, 2)[None].astype(dtype)
+
+    def top_map(i, t):
+        return (i, jnp.maximum(t * r - 1, 0), 0, 0)
+
+    def bot_map(i, t):
+        return (i, jnp.minimum(t * r + r, h - 1), 0, 0)
+
+    return pl.pallas_call(
+        _tail_res_kernel(r, nt, p, c2, co2, dtype),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((3, c2, co2), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c2, co2), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co2), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, p, c2), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, c2), top_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, c2), bot_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, p, co2), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r, p, co2), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, p, co2), dtype),
+        scratch_shapes=[pltpu.VMEM((r * p, co2), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * p * 6 * c2 * co2,
+            bytes_accessed=esz * n * h * p * (c2 + 2 * co2 + 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(wd, ws, b2, x2, x2, x2, xin2)
+
+
 # ---------------------------------------------------------------------------
 # boundary-free SNet + sigma epilogue + RNet head (one program, one boundary)
 # ---------------------------------------------------------------------------
