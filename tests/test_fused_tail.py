@@ -88,6 +88,19 @@ def test_model_fused_tail_pad_fallback():
                                atol=1e-6)
 
 
+def test_engine_fused_tail_resolution():
+    """Restorer(fused_tail=True) resolves to interpret mode on non-TPU
+    backends (tests/CI) and leaves the default model untouched."""
+    from virnet_tpu.eval.engine import Restorer
+    r = Restorer("denoising-syn",
+                 ckpt_path="model_zoo/virnet_denoising_syn_demo.pth",
+                 fused_tail=True)
+    assert r.model.tail_impl == "fused_interpret"
+    r_def = Restorer("denoising-syn",
+                     ckpt_path="model_zoo/virnet_denoising_syn_demo.pth")
+    assert r_def.model.tail_impl == ""
+
+
 def test_sisr_fused_tail_matches_default():
     """The SISR arch's tail (out_chn=3 after the in-model upsample) takes
     the same fused path."""
