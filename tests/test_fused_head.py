@@ -167,3 +167,22 @@ def test_engine_fused_carry_matches_unfused():
         a = np.asarray(r_ref.restore_batch(x))
         b = np.asarray(r_fus.restore_batch(x))
         np.testing.assert_allclose(a, b, atol=5e-6)
+
+
+def test_engine_carry_rows_override():
+    """Restorer(fused_head='carry:16') parses the row-slab pin and still
+    matches the unfused forward (invalid pins fall back to auto inside
+    dncnn_head_fused)."""
+    from virnet_tpu.eval.engine import Restorer
+
+    model = build_model("denoising-syn")
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x0)["params"]
+    r_fus = Restorer("denoising-syn", params=params, fused_head="carry:16")
+    assert r_fus.fused_head == "carry" and r_fus.fused_rows == 16
+    r_ref = Restorer("denoising-syn", params=params, fused_head=False)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(r_ref.restore_batch(x)),
+                               np.asarray(r_fus.restore_batch(x)),
+                               atol=5e-6)

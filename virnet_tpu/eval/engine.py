@@ -101,8 +101,15 @@ class Restorer:
             env = os.environ.get("VIRNET_TPU_FUSED_HEAD", "")
             fused_head = (env if jax.default_backend() == "tpu" else False)
         # normalize: truthy -> kernel mode ('carry' = line-buffer variant,
-        # anything else truthy = the halo-recompute kernel)
-        if fused_head and fused_head != "carry":
+        # 'carry:<rows>' pins the row-slab size, anything else truthy =
+        # the halo-recompute kernel)
+        self.fused_rows = None
+        if isinstance(fused_head, str) and fused_head.startswith("carry"):
+            _, _, rstr = fused_head.partition(":")
+            if rstr:
+                self.fused_rows = int(rstr.lstrip("r"))
+            fused_head = "carry"
+        elif fused_head:
             fused_head = "halo"
         self.fused_head = fused_head
         self._forward = self._build_forward()
@@ -157,6 +164,7 @@ class Restorer:
                 return mu.astype(jnp.float32)
         else:
             use_fused = self.fused_head
+            fused_rows = self.fused_rows
             if use_fused:
                 from ..models.fused import (denoise_forward_fused,
                                             fused_head_supported)
@@ -172,7 +180,7 @@ class Restorer:
                     if use_fused and fused_head_supported(model, x.shape):
                         mu, sigma = denoise_forward_fused(
                             model, params, x, interpret=interp,
-                            mode=use_fused)
+                            mode=use_fused, rows=fused_rows)
                     else:
                         mu, sigma = model.apply({"params": params}, x)
                 return mu.astype(jnp.float32)
