@@ -897,6 +897,13 @@ def conv3x3_tail_residual(x2: jnp.ndarray, xin2: jnp.ndarray,
             flops=2 * n * h * p * 6 * c2 * co2,
             bytes_accessed=esz * n * h * p * (c2 + 2 * co2 + 2),
             transcendentals=0),
+        # raise Mosaic's conservative 16 MB default scoped-vmem limit: at
+        # small f32 shapes (e.g. flax init at N=1) XLA places the call's
+        # whole operands in VMEM — x2 arrives three times (x/top/bot), so
+        # the stack allocation alone can exceed 16 MB and fail the compile
+        # (measured: 19.34M at (1,128,64,192) f32); the v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(wd, ws, b2, x2, x2, x2, xin2)
 
