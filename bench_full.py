@@ -33,23 +33,26 @@ BASELINE = {
 
 
 def marginal_time(make_fn, n1=4, n2=16, reps=5):
-    """Best-of-reps marginal seconds per unit between scan lengths."""
+    """Best-of-reps marginal seconds per unit between scan lengths.
+
+    The two lengths are timed INTERLEAVED per rep: timing all N1 reps
+    then all N2 reps lets a co-tenant burst on the shared dev pool cover
+    one phase only, which skews the marginal delta (bench.py observed a
+    +30% outlier from exactly that)."""
     f1, f2 = make_fn(n1), make_fn(n2)
     o1 = f1()
     np.asarray(jax.tree_util.tree_leaves(o1)[0])   # compile + warm
     o2 = f2()
     np.asarray(jax.tree_util.tree_leaves(o2)[0])
 
-    def timed(f):
-        best = float("inf")
-        for _ in range(reps):
-            tic = time.perf_counter()
-            out = f()
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
-            best = min(best, time.perf_counter() - tic)
-        return best
-
-    t1, t2 = timed(f1), timed(f2)
+    t1 = t2 = float("inf")
+    for _ in range(reps):
+        tic = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(f1())[0])
+        mid = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(f2())[0])
+        t1 = min(t1, mid - tic)
+        t2 = min(t2, time.perf_counter() - mid)
     return (t2 - t1) / (n2 - n1)
 
 
@@ -246,7 +249,9 @@ def main():
         "sidd_megatime_s_per_mp": "denoising-real arch, 16x256^2 blocks "
                                   "x8 TTA, scan 2/8",
     }
-    results = {"_protocol": protocol_fingerprint(per_metric=conditions)}
+    results = {"_protocol": protocol_fingerprint(
+        reps="best-of-reps, scan lengths interleaved per rep",
+        per_metric=conditions)}
     for name, fn, unit, base in [
         ("denoise_fwd_mps", bench_denoise_fwd, "MP/s",
          BASELINE["denoise_fwd_mps"]),
