@@ -115,3 +115,65 @@ def test_sisr_fused_tail_matches_default():
                                atol=0)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
                                atol=5e-6)
+
+
+def test_tail_residual_bf16_features_f32_residual():
+    """Mixed dtypes = the engine's bf16-compute path: features are bf16
+    but the residual input (the raw image) stays f32, and the unfused
+    tail's `conv(x) + x_in` therefore yields an f32 final image.  The
+    fused op must emit the sum in the RESIDUAL's dtype — re-rounding to
+    bf16 added a full quantization of the output (ADVICE r4, medium)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 8)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    xin = jnp.asarray(rng.standard_normal((1, 8, 16, 3)),
+                      dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 3)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((3,)),
+                    dtype=jnp.float32).astype(jnp.bfloat16)
+    got = pc.unpair(pc.conv3x3_tail_residual(
+        pc.pair(x), pc.pair(xin), k, b, interpret=True))
+    assert got.dtype == jnp.float32
+    # unfused semantics: f32-accumulated conv rounded once to bf16
+    # (attresunet.py unfused branch: (conv + b).astype(x.dtype)), then
+    # added to the f32 residual in f32
+    conv = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    want = ((conv + b.astype(jnp.float32)).astype(jnp.bfloat16)
+            .astype(jnp.float32) + xin)
+    # accumulation-order diffs can flip a bf16 rounding on values near a
+    # boundary; bound by ~1 bf16 ulp at the conv's magnitude
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.09)
+    # the defect being regressed: an output re-rounded to bf16 is fully
+    # bf16-representable; the true f32 sum is not
+    g = np.asarray(got)
+    assert np.any(g != np.asarray(jnp.asarray(g, jnp.bfloat16),
+                                  np.float32))
+
+
+def test_model_fused_tail_bf16_compute_matches_default():
+    """Under the engine's bf16 compute context the fused tail keeps the
+    final image in f32 like the default graph (the ADVICE r4 defect
+    re-rounded it to bf16), and tracks it to ~1 bf16 ulp — exact
+    equality is not expected: flax's nn.Conv rounds conv then conv+bias
+    (two bf16 roundings) where the fused kernel accumulates both in f32
+    (one rounding)."""
+    from virnet_tpu import precision
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    model_ref = build_model("denoising-syn")
+    params = model_ref.init(jax.random.PRNGKey(0), x)["params"]
+    model_fused = build_model("denoising-syn", tail_impl="fused_interpret")
+    with precision.precision("default"):
+        with precision.compute_dtype(jnp.bfloat16):
+            mu_ref, _ = model_ref.apply({"params": params}, x)
+            mu, _ = model_fused.apply({"params": params}, x)
+    assert mu.dtype == jnp.float32
+    assert mu.dtype == mu_ref.dtype
+    np.testing.assert_allclose(np.asarray(mu, np.float32),
+                               np.asarray(mu_ref, np.float32), atol=0.02)

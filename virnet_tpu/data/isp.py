@@ -235,8 +235,11 @@ class CameraISP:
 
     # -- pipeline ----------------------------------------------------------
     def unprocess(self, im_srgb, tone_type: str = "func"):
-        """sRGB float (H, W, 3) -> raw RGGB CFA plane (values can sit
-        above 1 where the inverse WB un-clips highlights; kept linear)."""
+        """sRGB float (H, W, 3) -> raw RGGB CFA plane.  The raw domain is
+        clipped to [0, 1]: the inverse WB can push values above 1, but the
+        forward pipeline (process) clips its camera-domain input the same
+        way, so keeping the headroom would only create un-renderable
+        values — simulate_clean round-trips through the clipped range."""
         cfg = self.config
         x = np.asarray(im_srgb, np.float64)
         if tone_type == "func":
@@ -278,6 +281,23 @@ class CameraISP:
 ISP = CameraISP
 
 
+def _isp_patch_job(job) -> int:
+    """One patch's ISP rerender (module-level so it pickles into worker
+    processes)."""
+    idx, path, im_dir, meta_dir, tone_type, demosaic_method = job
+    path = Path(path)
+    im = imread(path, chn="rgb", dtype="float32")
+    isp = CameraISP()
+    isp.reset_seed(idx)
+    isp.random_config()
+    isp.save_config(Path(meta_dir) / (path.stem + ".json"))
+    out = isp.simulate_clean(im, tone_type=tone_type,
+                             demosaic_method=demosaic_method)
+    out8 = np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+    imwrite(out8, Path(im_dir) / path.name, chn="rgb")
+    return 1
+
+
 def isp_process_patches(pch_dir, isp_dir, pattern: str = "*.png",
                         max_workers: int = 8, tone_type: str = "func",
                         demosaic_method: str = "malvar") -> int:
@@ -285,7 +305,11 @@ def isp_process_patches(pch_dir, isp_dir, pattern: str = "*.png",
 
     Output layout matches the reference (<isp_dir>/images/<name>.png +
     <isp_dir>/meta/<stem>.json); the per-patch seed is the sorted index,
-    as in prepare_patch_isp.py:31,49.
+    as in prepare_patch_isp.py:31,49.  Per-patch jobs run in worker
+    PROCESSES (the float64 numpy/cv2 work is CPU-bound and GIL-held, so
+    threads serialize — ADVICE r4; the reference's joblib cropper uses
+    processes for the same reason), with an in-process fallback when the
+    pool cannot start (sandboxed test environments).
     """
     pch_dir = Path(pch_dir)
     isp_dir = Path(isp_dir)
@@ -293,21 +317,20 @@ def isp_process_patches(pch_dir, isp_dir, pattern: str = "*.png",
     meta_dir = isp_dir / "meta"
     im_dir.mkdir(parents=True, exist_ok=True)
     meta_dir.mkdir(parents=True, exist_ok=True)
-    paths = sorted(pch_dir.glob(pattern))
+    jobs = [(idx, str(path), str(im_dir), str(meta_dir), tone_type,
+             demosaic_method)
+            for idx, path in enumerate(sorted(pch_dir.glob(pattern)))]
+    if max_workers <= 1 or len(jobs) <= 1:
+        return sum(map(_isp_patch_job, jobs))
+    try:
+        import multiprocessing
 
-    def process(job):
-        idx, path = job
-        im = imread(path, chn="rgb", dtype="float32")
-        isp = CameraISP()
-        isp.reset_seed(idx)
-        isp.random_config()
-        isp.save_config(meta_dir / (path.stem + ".json"))
-        out = isp.simulate_clean(im, tone_type=tone_type,
-                                 demosaic_method=demosaic_method)
-        out8 = np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
-        imwrite(out8, im_dir / path.name, chn="rgb")
-        return 1
-
-    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-        n = sum(ex.map(process, enumerate(paths)))
-    return n
+        # spawn, not fork: the parent typically has JAX's thread pools
+        # live, and forking a multithreaded process can deadlock
+        ctx = multiprocessing.get_context("spawn")
+        with cf.ProcessPoolExecutor(max_workers=max_workers,
+                                    mp_context=ctx) as ex:
+            return sum(ex.map(_isp_patch_job, jobs,
+                              chunksize=max(1, len(jobs) // max_workers)))
+    except (OSError, PermissionError):
+        return sum(map(_isp_patch_job, jobs))

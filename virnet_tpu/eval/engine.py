@@ -14,11 +14,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import build_model
+from ..config import as_bool
 from ..convert import load_torch_checkpoint
 from ..precision import compute_dtype
 from .tiling import bucket_size
 
 CHOP_THRESHOLD = 160000   # pixels; above this, quadrant tiling kicks in
+
+
+def _env_opt(name: str):
+    """Boolean-ish opt-in env var: ''/'0'/'false'/'no' -> False,
+    '1'/'true'/'yes' -> True; any other non-empty string is returned
+    verbatim (the 'carry[:rows]' escape hatch for VIRNET_TPU_FUSED_HEAD).
+    ADVICE r4: plain bool(env) treated '0' and 'false' as enabled."""
+    import os
+
+    v = os.environ.get(name, "")
+    if not v:
+        return False
+    try:
+        return as_bool(v)
+    except ValueError:
+        return v
 
 
 class Restorer:
@@ -70,9 +87,7 @@ class Restorer:
             # conv+residual program; see models/attresunet.py tail_impl).
             # Unlike fused_head this is a model field, so it routes
             # through build_model rather than the forward builder.
-            import os
-
-            fused_tail = (bool(os.environ.get("VIRNET_TPU_FUSED_TAIL", ""))
+            fused_tail = (bool(_env_opt("VIRNET_TPU_FUSED_TAIL"))
                           and jax.default_backend() == "tpu")
         if fused_tail and "tail_impl" not in model_overrides:
             # explicit request on a non-TPU backend runs the kernel in
@@ -96,9 +111,7 @@ class Restorer:
             # auto: opt in via env on a real TPU backend (the fused
             # prologue is a TPU Pallas program; CPU runs it in interpret
             # mode, which is for tests only)
-            import os
-
-            env = os.environ.get("VIRNET_TPU_FUSED_HEAD", "")
+            env = _env_opt("VIRNET_TPU_FUSED_HEAD")
             fused_head = (env if jax.default_backend() == "tpu" else False)
         # normalize: truthy -> kernel mode ('carry' = line-buffer variant,
         # 'carry:<rows>' pins the row-slab size, anything else truthy =

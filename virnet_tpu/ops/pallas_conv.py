@@ -790,7 +790,8 @@ def conv3x3_out_pair(x2: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return conv3x3_narrow_out(unpair(x2), w, b, slope=slope)
 
 
-def _tail_res_kernel(r: int, nt: int, p: int, c2: int, co2: int, dtype):
+def _tail_res_kernel(r: int, nt: int, p: int, c2: int, co2: int, dtype,
+                     out_dtype):
     """3x3 conv (pair layout, wide C_in -> small C_out) + bias + global
     residual in ONE program: the tap tensor that sank the pure-XLA
     narrow-out form (its (N, H, W, 9*co) intermediate `u` round-tripped
@@ -800,8 +801,11 @@ def _tail_res_kernel(r: int, nt: int, p: int, c2: int, co2: int, dtype):
     Structure = _mid_kernel_halo (clamped 1-row halo blocks, zeroed at
     the image border, piecewise per-dy matmul accumulation) with
     rectangular (2c, 2co) weights and the residual epilogue; rounding
-    matches the XLA path bit-for-bit (one f32->dtype rounding after the
-    conv, one after the add)."""
+    matches the XLA path bit-for-bit: one f32->feature-dtype rounding
+    after the conv, then a sum in f32 emitted in the RESIDUAL input's
+    dtype (out_dtype) — under bf16 compute x_in stays f32 through the
+    unfused `conv(x) + x_in` (attresunet tail), so the fused output
+    must stay f32 too rather than re-round the final image to bf16."""
     prec = _precision(dtype)
     c = c2 // 2
 
@@ -830,7 +834,7 @@ def _tail_res_kernel(r: int, nt: int, p: int, c2: int, co2: int, dtype):
                                          prec))
         y = acc_ref[:].reshape(r, p, co2).astype(dtype)   # conv rounding
         o_ref[0] = (y.astype(jnp.float32)
-                    + xin_ref[0].astype(jnp.float32)).astype(dtype)
+                    + xin_ref[0].astype(jnp.float32)).astype(out_dtype)
     return kern
 
 
@@ -852,14 +856,20 @@ def conv3x3_tail_residual(x2: jnp.ndarray, xin2: jnp.ndarray,
     co2 = xin2.shape[3]
     co = co2 // 2
     dtype = x2.dtype
+    # residual sum emitted in the residual input's dtype: under bf16
+    # compute x_in is f32, and the unfused tail's `conv + x_in` keeps the
+    # final image f32 (ADVICE r4: rounding it to the feature dtype added
+    # a full bf16 quantization of the output)
+    out_dtype = xin2.dtype
     esz = jnp.dtype(dtype).itemsize
+    osz = jnp.dtype(out_dtype).itemsize
     max_rows = _rows_per_slab(h, p * (c2 * (4 * esz + 4)
-                                      + co2 * (2 * esz + 4)))
+                                      + co2 * (2 * osz + 4)))
     r = _divisor_rows(h, max_rows)
     if r is None or not HAS_PALLAS:
         y = conv3x3_narrow_out(unpair(x2), w, b)
         return pair((y.astype(jnp.float32)
-                     + unpair(xin2).astype(jnp.float32)).astype(dtype))
+                     + unpair(xin2).astype(jnp.float32)).astype(out_dtype))
     nt = h // r
     wd, ws = _mid_weights(w.astype(dtype))                 # (3, 2c, 2co)
     b2 = jnp.tile(b, 2)[None].astype(dtype)
@@ -871,7 +881,7 @@ def conv3x3_tail_residual(x2: jnp.ndarray, xin2: jnp.ndarray,
         return (i, jnp.minimum(t * r + r, h - 1), 0, 0)
 
     return pl.pallas_call(
-        _tail_res_kernel(r, nt, p, c2, co2, dtype),
+        _tail_res_kernel(r, nt, p, c2, co2, dtype, out_dtype),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((3, c2, co2), lambda i, t: (0, 0, 0),
@@ -891,7 +901,7 @@ def conv3x3_tail_residual(x2: jnp.ndarray, xin2: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, r, p, co2), lambda i, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, p, co2), dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, p, co2), out_dtype),
         scratch_shapes=[pltpu.VMEM((r * p, co2), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * p * 6 * c2 * co2,
