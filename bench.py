@@ -46,15 +46,17 @@ def _probe_once(timeout_s: float) -> bool:
         return False
 
 
-def _chip_reachable(timeout_s: float = 120.0, attempts: int = 3,
-                    backoff_s: float = 75.0) -> bool:
+def _chip_reachable(timeout_s: float = 240.0, attempts: int = 3,
+                    backoff_s: float = 60.0) -> bool:
     """Probe the TPU backend in a bounded subprocess, with retry.
 
     When the axon relay is unreachable, backend init hangs ~20 min in a
     socket retry loop; without this guard the whole bench would hang
     instead of reporting.  Relay blips are often shorter than a round's
     bench window, so a failed probe retries (3 probes spread over ~5
-    min) before declaring the chip down.
+    min) before declaring the chip down.  The per-probe timeout covers
+    a COLD relay: first contact after an idle period has been observed
+    to take ~230 s while later contacts take seconds.
     """
     for i in range(attempts):
         if _probe_once(timeout_s):

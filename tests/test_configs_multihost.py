@@ -108,6 +108,81 @@ def test_init_multihost_two_process_cpu_smoke():
                 p.kill()
 
 
+_STEP_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from virnet_tpu.train.mesh import init_multihost, make_mesh
+n = init_multihost(sys.argv[1], num_processes=2, process_id=int(sys.argv[2]))
+assert n == 2, n
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4, jax.local_device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from virnet_tpu.train.loop_denoise import DenoiseTrainConfig, DenoiseTrainer
+
+mesh = make_mesh()            # global 8-device data mesh across 2 processes
+cfg = DenoiseTrainConfig(
+    sigma_chn=1, dep_S=3, n_feat=(8, 16), n_resblocks=1,
+    batch_size=16, patch_size=32, epochs=2, warmup_epochs=1,
+    steps_per_epoch=4, save_dir="/tmp/virnet_mh_dryrun_%s" % sys.argv[2])
+trainer = DenoiseTrainer(cfg, mesh=mesh)
+rng = np.random.default_rng(0)        # same global batch on both processes
+batch = rng.random((cfg.batch_size, cfg.patch_size, cfg.patch_size, 3),
+                   dtype=np.float32)
+aux = trainer.run_step(jnp.asarray(batch), epoch=0)
+l0 = float(aux["loss"])
+aux = trainer.run_step(jnp.asarray(batch), epoch=0)
+l1 = float(aux["loss"])
+assert np.isfinite(l0) and np.isfinite(l1), (l0, l1)
+print("STEP-OK", repr(l0), repr(l1))
+"""
+
+
+def test_multihost_two_process_train_step():
+    """One REAL train step over a 2-process x 4-device global mesh
+    (VERDICT r4 item 7): coordinator + worker each hold 4 virtual CPU
+    devices, form the 8-device data mesh, and run two optimization steps
+    end to end.  Both processes must report the identical (psum-reduced,
+    replicated) loss.  Skipped only if this jaxlib cannot form the
+    cluster (same guard as the bring-up smoke above)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _STEP_WORKER, addr, str(i)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    try:
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("distributed CPU bring-up timed out here")
+            outs.append((p.returncode, out))
+        if any(rc != 0 for rc, _ in outs):
+            if any("UNIMPLEMENTED" in out or "not supported" in out
+                   for _, out in outs):
+                pytest.skip("jax.distributed unsupported on this platform")
+            raise AssertionError(f"2-process train step failed: {outs}")
+        lines = [next(ln for ln in out.splitlines() if "STEP-OK" in ln)
+                 for _, out in outs]
+        assert lines[0] == lines[1], lines   # identical replicated losses
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
 def test_maybe_init_multihost_skips_without_keys(monkeypatch):
     """Single-host configs (no multihost keys) must not touch
     jax.distributed at all."""

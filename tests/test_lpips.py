@@ -160,6 +160,66 @@ def test_identity_and_symmetry(replica, images):
     assert (d01 > 0).all()
 
 
+@pytest.mark.parametrize("layout", ["lpips", "split"])
+def test_eval_sisr_cli_lpips_end_to_end(tmp_path, monkeypatch, layout):
+    """The day real LPIPS weights land, Table-5 LPIPS must be a file drop
+    with zero code risk (VERDICT r4): drive the ACTUAL CLI
+    (cli.eval_sisr) through a torch-saved checkpoint in each accepted
+    on-disk layout and assert a finite score lands in the results dump.
+    Reference: scripts/sisr_virnet_syn.py:96,158-161."""
+    import cv2
+    import math
+    import pickle
+    from pathlib import Path
+
+    from virnet_tpu.cli.eval_sisr import main as eval_sisr_main
+
+    # LPIPS weights file, real on-disk format
+    replica = _TorchLPIPSAlex(seed=0)
+    wpath = tmp_path / f"lpips_alex_{layout}.pth"
+    torch.save(replica.state_dict_lpips_layout() if layout == "lpips"
+               else replica.state_dict_split_layout(), wpath)
+
+    # released-arch SISR fixture .pth (reference key convention)
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_torch_parity import _make_dncnn, _make_knet, _make_attresunet
+
+    torch.manual_seed(0)
+    sd = {}
+    _make_dncnn(sd, "SNet", 3, 1, 5)
+    _make_knet(sd, "KNet", 3, 3, 64, 8)
+    _make_attresunet(sd, "RNet", 3, 4, 3, (96, 160, 224), 2, "both")
+    ckpt = tmp_path / "sisr_fixture.pth"
+    torch.save({"model_state_dict": sd}, ckpt)
+
+    # one tiny image per Table-5 dataset slot
+    rng = np.random.default_rng(7)
+    root = tmp_path / "data"
+    (root / "Set14").mkdir(parents=True)
+    (root / "CBSD68").mkdir()
+    cv2.imwrite(str(root / "Set14" / "a.bmp"),
+                rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+    cv2.imwrite(str(root / "CBSD68" / "b.png"),
+                rng.integers(0, 255, (48, 48, 3), dtype=np.uint8))
+
+    monkeypatch.setattr(jlpips, "_PARAMS", None)
+    save_dir = tmp_path / "out"
+    res = eval_sisr_main([
+        "--ckpt_path", str(ckpt), "--sf", "2", "--nlevel", "2.55",
+        "--data_root", str(root), "--save_dir", str(save_dir),
+        "--lpips_weights", str(wpath)])
+    with open(save_dir / "sisr_sf2_nl255.pkl", "rb") as f:
+        dumped = pickle.load(f)
+    for results in (res, dumped):
+        for name in ("Set14", "CBSD68"):
+            v = results[name]["lpips"]
+            assert isinstance(v, float) and math.isfinite(v)
+            assert all(isinstance(k["lpips"], float)
+                       for k in results[name]["per_kernel"])
+    monkeypatch.setattr(jlpips, "_PARAMS", None)
+
+
 def test_table5_emits_lpips_with_weights(tmp_path, monkeypatch):
     """eval_sisr_synthetic scores LPIPS when weights are present (the
     Table 5 third metric, reference scripts/sisr_virnet_syn.py:158-161)."""

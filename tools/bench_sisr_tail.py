@@ -33,25 +33,35 @@ def log(msg):
 
 
 def make_timer(tail: bool, n1: int, n2: int, batch: int, size: int,
-               sf: int):
+               sf: int, task: str = "sisr"):
     from virnet_tpu import precision
     from virnet_tpu.models import build_model
 
     precision.set_precision("default")
-    model = build_model("sisr", **({"tail_impl": "fused"} if tail else {}))
+    kw = {"tail_impl": "fused"} if tail else {}
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, size, size, 3), jnp.float32)
-    params = model.init(key, jnp.zeros((1, 32, 32, 3)), sf)["params"]
+    if task == "sisr":
+        model = build_model("sisr", **kw)
+        params = model.init(key, jnp.zeros((1, 32, 32, 3)), sf)["params"]
+    else:
+        # flagship denoise forward, protocol = bench.py (batch 32, 256^2)
+        model = build_model("denoising-syn", **kw)
+        params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
 
     def make_scan(length):
         @jax.jit
         def fwd_n(p, xx):
             def body(y, _):
-                mu, _k, _s = model.apply({"params": p},
-                                         y.astype(jnp.bfloat16), sf)
-                lr = jax.image.resize(mu, y.shape, "nearest")
-                return jnp.clip(lr, 0.0, 1.0).astype(jnp.float32), 0.0
+                if task == "sisr":
+                    mu, _k, _s = model.apply({"params": p},
+                                             y.astype(jnp.bfloat16), sf)
+                    mu = jax.image.resize(mu, y.shape, "nearest")
+                else:
+                    mu, _sig = model.apply({"params": p},
+                                           y.astype(jnp.bfloat16))
+                return jnp.clip(mu, 0.0, 1.0).astype(jnp.float32), 0.0
             y, _ = jax.lax.scan(body, xx, None, length=length)
             return y
         return fwd_n
@@ -64,7 +74,7 @@ def make_timer(tail: bool, n1: int, n2: int, batch: int, size: int,
     np.asarray(f2(params, x))
     log(f"{name}: compiled")
 
-    out_mp = batch * (size * sf) ** 2 / 1e6
+    out_mp = batch * (size * (sf if task == "sisr" else 1)) ** 2 / 1e6
 
     def measure():
         t0 = time.perf_counter()
@@ -86,6 +96,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--sf", type=int, default=4)
+    ap.add_argument("--task", choices=("sisr", "denoise"), default="sisr",
+                    help="denoise = bench.py flagship protocol "
+                         "(use --batch 32 --size 256)")
     args = ap.parse_args()
 
     timers = {}
@@ -93,7 +106,7 @@ def main():
         name = "fused-tail" if tail else "xla-tail"
         try:
             timers[name] = make_timer(tail, args.n1, args.n2, args.batch,
-                                      args.size, args.sf)
+                                      args.size, args.sf, args.task)
         except Exception as e:
             log(f"{name}: SKIPPED ({type(e).__name__}: {str(e)[:200]})")
 

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--downsampler", type=str, default="bicubic")
     p.add_argument("--lpips", type=str, default="auto",
                    choices=["auto", "on", "off"])
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help="torch lpips-alex checkpoint path (either format "
+                        "in eval/lpips.py); overrides "
+                        "VIRNET_LPIPS_WEIGHTS / model_zoo/lpips_alex.pth")
     p.add_argument("--pad_multiple", type=int, default=0,
                    help="0 (default) = reference-exact raw forwards; "
                         ">0 reflect-pads to size buckets (fewer "
@@ -83,6 +87,10 @@ def main(argv=None):
         "CBSD68": str(Path(args.data_root) / "CBSD68" / "*.png"),
     }
     use_lpips = {"auto": None, "on": True, "off": False}[args.lpips]
+    if args.lpips_weights:
+        from ..eval import lpips as lpips_mod
+
+        lpips_mod.set_params(lpips_mod.load_lpips_params(args.lpips_weights))
     results = eval_sisr_synthetic(restorer, data_dirs, args.sf,
                                   nlevel=args.nlevel,
                                   downsampler=args.downsampler,
