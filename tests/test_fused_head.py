@@ -62,6 +62,41 @@ def test_fused_head_matches_model(task, shape, mode):
                                atol=tol)
 
 
+def test_slabzero_probe_computes_slab_exact_math():
+    """The halo-free upper-bound PROBE (mode='slabzero') must compute the
+    REAL prologue math per slab — each r-row slab treated as an
+    independent image — or its measured time means nothing.  Each output
+    slab is compared against the force_ops graph run on that slab's
+    effective input image (the kernel's input view is the zero-padded
+    image shifted down one row, so slab t sees rows [t*r-1, t*r+r-1))."""
+    model = build_model("denoising-syn")
+    rng = np.random.default_rng(5)
+    n, h, w = 1, 32, 32
+    r = 16
+    x = jnp.asarray(rng.random((n, h, w, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    k1, b1, kms, bms, kl, bl, kh, bh = _snet_head_params(model, params)
+
+    head, sig = pc.dncnn_head_fused(
+        x, k1, b1, kms, bms, kl, bl, kh, bh, slope=0.25,
+        lmin=LOG_MIN, lmax=LOG_MAX, mode="slabzero", rows=r,
+        interpret=True)
+    assert head.shape == (n, h, w, kh.shape[3])
+
+    xx = np.pad(np.asarray(x), ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :h]
+    for t in range(h // r):
+        xs = jnp.asarray(xx[:, t * r:(t + 1) * r])
+        h_ref, s_ref = pc.dncnn_head_fused(
+            xs, k1, b1, kms, bms, kl, bl, kh, bh, slope=0.25,
+            lmin=LOG_MIN, lmax=LOG_MAX, force_ops=True)
+        np.testing.assert_allclose(
+            np.asarray(sig[:, t * r:(t + 1) * r]), np.asarray(s_ref),
+            atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(head[:, t * r:(t + 1) * r]), np.asarray(h_ref),
+            atol=5e-6)
+
+
 def test_fused_forward_end_to_end():
     model = build_model("denoising-syn")
     rng = np.random.default_rng(1)

@@ -1180,6 +1180,112 @@ def _dncnn_head_kernel_carry(L: int, r: int, nt: int, hbp: int, h: int,
     return kern
 
 
+def _dncnn_head_kernel_slabzero(L: int, r: int, p: int, ci: int, c2: int,
+                                co: int, cf: int, slope, lmin: float,
+                                lmax: float, dtype):
+    """PERF PROBE ONLY — the halo-free UPPER BOUND of the fused prologue.
+
+    Treats every r-row slab as an independent image (zero rows at slab
+    edges): exactly the FLOPs, VMEM traffic, and fully-parallel grid of
+    an IDEAL halo-free kernel — one that would get boundary rows from
+    neighbor tiles for free — but numerically wrong within L+2 rows of
+    each interior slab edge.  If even this bound cannot beat the unfused
+    XLA graph, no realizable column-slab / cross-tile-DMA variant can
+    (they add boundary work to THIS kernel), which closes the round-4
+    postmortems' last untried route with data.  Never routed by the
+    engine; reachable only via mode='slabzero' (tools/bench_fused_head).
+    Interior rows (≥ L+2 from slab edges) match the real math exactly —
+    pinned by tests/test_fused_head.py — so the measured time is that of
+    the true computation, not a degenerate one."""
+    prec = _precision(dtype)
+    c = c2 // 2
+    ci2 = 2 * ci
+    co2 = 2 * co
+
+    def kern(wa_ref, wb_ref, wd_ref, ws_ref, wlx_ref, wls_ref, b_ref,
+             bl_ref, wha_ref, whb_ref, wde_ref, wse_ref, bh_ref,
+             a_ref, bm_ref, oh_ref, os_ref, z0, z1, ascr, bscr, ebuf):
+        # zero-padded slab-local input windows
+        zci = jnp.zeros((1, p, ci2), dtype)
+        ascr[0:1] = zci
+        ascr[1:r + 1] = a_ref[0]
+        ascr[r + 1:r + 2] = zci
+        bscr[0:1] = zci
+        bscr[1:r + 1] = bm_ref[0]
+        bscr[r + 1:r + 2] = zci
+
+        zc2 = jnp.zeros((1, p, c2), dtype)
+        af = ascr[:].reshape((r + 2) * p, ci2)
+        bf = bscr[:].reshape((r + 2) * p, ci2)
+        acc0 = jnp.zeros((r * p, c2), jnp.float32)
+        for dy in range(3):
+            acc0 = acc0 + _dot(af[dy * p:(dy + r) * p], wa_ref[dy], prec)
+            acc0 = acc0 + _dot(bf[dy * p:(dy + r) * p], wb_ref[dy], prec)
+        y = acc0 + b_ref[0].astype(jnp.float32)
+        if slope is not None:
+            y = jnp.where(y >= 0, y, slope * y)
+        z0[0:1] = zc2
+        z0[1:r + 1] = y.reshape(r, p, c2).astype(dtype)
+        z0[r + 1:r + 2] = zc2
+        z1[0:1] = zc2
+        z1[r + 1:r + 2] = zc2
+
+        bufs = (z0, z1)
+        for lev in range(L):
+            zin = bufs[lev % 2]
+            xx = zin[0:r + 2]
+            s = _shift_pair(xx, c)
+            xf = xx.reshape((r + 2) * p, c2)
+            sf = s.reshape((r + 2) * p, c2)
+            acc = jnp.zeros((r * p, c2), jnp.float32)
+            for dy in range(3):
+                acc = acc + _dot(xf[dy * p:(dy + r) * p],
+                                 wd_ref[lev, dy], prec)
+                acc = acc + _dot(sf[dy * p:(dy + r) * p],
+                                 ws_ref[lev, dy], prec)
+            yl = acc + b_ref[1 + lev].astype(jnp.float32)
+            if slope is not None:
+                yl = jnp.where(yl >= 0, yl, slope * yl)
+            bufs[(lev + 1) % 2][1:r + 1] = yl.reshape(r, p, c2) \
+                .astype(dtype)
+
+        zl = bufs[L % 2][0:r + 2]
+        sl = _shift_pair(zl, c)
+        u = (_dot(zl.reshape((r + 2) * p, c2), wlx_ref[:], prec)
+             + _dot(sl.reshape((r + 2) * p, c2), wls_ref[:], prec))
+        u = u.reshape(r + 2, p, 6 * co)
+        logits = (u[1:r + 1, :, 2 * co:4 * co]
+                  + u[0:r, :, 0:2 * co]
+                  + u[2:r + 2, :, 4 * co:6 * co])
+        logits = logits + bl_ref[0].astype(jnp.float32)   # f32 (r, p, 2co)
+
+        # variational epilogue (same op order/dtype as the halo kernel)
+        logits = logits.astype(dtype).astype(jnp.float32)
+        sig = jnp.exp(jnp.clip(logits, lmin, lmax))
+        os_ref[0] = sig.astype(dtype)
+        zco = jnp.zeros((1, p, co2), dtype)
+        ebuf[0:1] = zco
+        ebuf[1:r + 1] = jnp.sqrt(sig).astype(dtype)
+        ebuf[r + 1:r + 2] = zco
+
+        # head conv: x part from the zero-padded input scratch, extra
+        # part dense+shift on the zero-padded extra buffer
+        acch = jnp.zeros((r * p, 2 * cf), jnp.float32)
+        for dy in range(3):
+            acch = acch + _dot(af[dy * p:(dy + r) * p], wha_ref[dy], prec)
+            acch = acch + _dot(bf[dy * p:(dy + r) * p], whb_ref[dy], prec)
+        ext = ebuf[0:r + 2]
+        se = _shift_pair(ext, co)
+        extf = ext.reshape((r + 2) * p, co2)
+        sef = se.reshape((r + 2) * p, co2)
+        for dy in range(3):
+            acch = acch + _dot(extf[dy * p:(dy + r) * p], wde_ref[dy], prec)
+            acch = acch + _dot(sef[dy * p:(dy + r) * p], wse_ref[dy], prec)
+        yh = acch + bh_ref[0].astype(jnp.float32)
+        oh_ref[0] = yh.reshape(r, p, 2 * cf).astype(dtype)
+    return kern
+
+
 def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
                      slope: float = 0.25, lmin: float = -23.025850929940457,
                      lmax: float = 4.605170185988092,
@@ -1197,8 +1303,11 @@ def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
 
     ``mode``: 'halo' = per-tile halo recompute (_dncnn_head_kernel);
     'carry' = line-buffer top carries, bottom-only recompute
-    (_dncnn_head_kernel_carry).  ``rows`` overrides the auto row-slab
-    size (must divide H and be a multiple of the halo block)."""
+    (_dncnn_head_kernel_carry); 'slabzero' = PERF PROBE ONLY, the
+    halo-free upper bound — WRONG within L+2 rows of interior slab
+    edges (see _dncnn_head_kernel_slabzero).  ``rows`` overrides the
+    auto row-slab size (must divide H and be a multiple of the halo
+    block; slabzero only needs it to divide H)."""
     n, h, w_in, ci = x.shape
     assert w_in % 2 == 0, "fused head path needs even W"
     co = wl.shape[3]
@@ -1291,6 +1400,59 @@ def dncnn_head_fused(x: jnp.ndarray, w1, b1, wms, bms, wl, bl, wh, bh,
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i, t: (0,) * nd,
                             memory_space=pltpu.VMEM)
+
+    if mode == "slabzero":
+        # perf probe: no halo blocks at all, fully parallel grid.  r only
+        # needs to divide H here (no hbp alignment).
+        if rows is not None and h % rows == 0:
+            r = rows
+        elif r is None:
+            r = _divisor_rows(h, max_rows)
+        nt = h // r
+        head, sig = pl.pallas_call(
+            _dncnn_head_kernel_slabzero(L, r, p, ci, c2, co, cf, slope,
+                                        lmin, lmax, dtype),
+            grid=(n, nt),
+            in_specs=[
+                wspec((3, ci2, c2)), wspec((3, ci2, c2)),
+                wspec((L, 3, c2, c2)), wspec((L, 3, c2, c2)),
+                wspec((c2, 6 * co)), wspec((c2, 6 * co)),
+                wspec((L + 1, c2)), wspec((1, 2 * co)),
+                wspec((3, ci2, 2 * cf)), wspec((3, ci2, 2 * cf)),
+                wspec((3, 2 * co, 2 * cf)), wspec((3, 2 * co, 2 * cf)),
+                wspec((1, 2 * cf)),
+                pl.BlockSpec((1, r, p, ci2), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r, p, ci2), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, r, p, 2 * cf), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r, p, 2 * co), lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((n, h, p, 2 * cf), dtype),
+                       jax.ShapeDtypeStruct((n, h, p, 2 * co), dtype)],
+            scratch_shapes=[pltpu.VMEM((r + 2, p, c2), dtype),
+                            pltpu.VMEM((r + 2, p, c2), dtype),
+                            pltpu.VMEM((r + 2, p, ci2), dtype),
+                            pltpu.VMEM((r + 2, p, ci2), dtype),
+                            pltpu.VMEM((r + 2, p, 2 * co), dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * h * p * (8 * c2 * c2 * (L + 1)
+                                       + 2 * cf * (4 * ci + 2 * co) * 6),
+                bytes_accessed=esz * n * h * p
+                * (4 * ci + 2 * co + 2 * cf),
+                transcendentals=2 * n * h * p * 2 * co),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(wa, wb, wd_all, ws_all, wlx, wls, b_all, bl2,
+          wha, whb, wde, wse, bh2,
+          a, bb)
+        return unpair(head), unpair(sig)
 
     if mode == "carry":
         E = L + 2
