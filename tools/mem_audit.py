@@ -130,7 +130,7 @@ def main(argv=None):
     # device-resident synthetic GT records (the mh run's data mode; no
     # file IO so the audit isolates the training-loop subsystems)
     rng = np.random.default_rng(0)
-    recs = rng.random((64, 128, 128, 3), dtype=np.float32)
+    recs = rng.integers(0, 256, (64, 128, 128, 3), dtype=np.uint8)
     dataset = DeviceDataset(trainer.mesh, recs)
 
     writer = None if args.no_tb else TrainWriter(Path(args.save_dir) / "logs")
@@ -147,6 +147,9 @@ def main(argv=None):
     def emit(rec):
         with out.open("a") as f:
             f.write(json.dumps(rec) + "\n")
+        if rec["tag"] == "summary":
+            logger.info(json.dumps(rec))
+            return
         logger.info(
             f"[{rec['tag']} ep{rec['epoch']:>3}] rss {rec['rss_mb']:.0f} MB"
             + (f" (trimmed {rec['rss_after_trim_mb']:.0f})"
