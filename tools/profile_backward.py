@@ -90,9 +90,12 @@ def parse_hlo_convs(hlo_text: str):
                     contraction = dims[fpos]
         mmeta = re.search(r'op_name="([^"]+)"', ln)
         op_name = mmeta.group(1) if mmeta else ""
+        mdl_full = re.search(r"dim_labels=([\w?]+_[\w?]+->[\w?]+)", ln)
         flops = 2.0 * int(np.prod(out_shape)) * win * contraction
         comp_convs[cur_comp].append(
             {"flops": flops, "op_name": op_name,
+             "dim_labels": mdl_full.group(1) if mdl_full else "",
+             "reversed_rhs": "rhs_reversal=1" in ln,
              "shape": f"{m.group(2)}[{m.group(3)}] win{win} K{contraction}"})
     # 2) top-level fusions: map instruction name -> called computation
     top: dict = {}
@@ -129,8 +132,26 @@ def parse_hlo_convs(hlo_text: str):
     return top
 
 
-def classify(op_name: str) -> str:
-    return "bwd" if "transpose(" in op_name else "fwd"
+def classify(conv) -> str:
+    """'fwd' or 'bwd' for a conv record (or bare op_name string).
+
+    Layered: jax VJP scope metadata when present; else structure — a dW
+    conv contracts over batch (operand-0 dim_labels don't start with
+    'b', e.g. f01b_i01o->01bf) and a dX conv runs with spatially
+    reversed filters (rhs_reversal)."""
+    if isinstance(conv, str):
+        conv = {"op_name": conv}
+    op_name = conv.get("op_name", "")
+    if "transpose(" in op_name:
+        return "bwd"
+    if op_name:
+        return "fwd"
+    dl = conv.get("dim_labels", "")
+    if dl and not dl.startswith("b"):
+        return "bwd"
+    if conv.get("reversed_rhs"):
+        return "bwd"
+    return "fwd"
 
 
 def main():
@@ -187,7 +208,7 @@ def main():
             continue
         us = dur_us / args.steps
         flops = sum(c["flops"] for c in convs)
-        cls = classify(convs[0]["op_name"])
+        cls = classify(convs[0])
         tf = flops / (us * 1e-6) / 1e12 if us > 0 else 0.0
         rows.append((us, cls, tf, 100 * tf / peak, name,
                      convs[0]["op_name"][-70:],
