@@ -47,7 +47,7 @@ def leaky_relu_gain(negative_slope: float) -> float:
 
 def conv(features: int, kernel: int, in_features: int, *, stride: int = 1,
          padding: int | None = None, bias: bool = True, name: str | None = None,
-         kernel_init=None, bias_init=None) -> nn.Conv:
+         kernel_init=None, bias_init=None) -> nn.Module:
     """nn.Conv with explicit torch-style 'same-ish' integer padding and
     torch-default initializers."""
     if padding is None:
@@ -57,6 +57,13 @@ def conv(features: int, kernel: int, in_features: int, *, stride: int = 1,
         kernel_init = torch_kernel_init
     if bias_init is None:
         bias_init = make_torch_bias_init(fan_in)
+    if (kernel == 3 and stride == 1 and padding == 1
+            and resolve_dx_impl() == "fwdstyle"):
+        # training-graph opt-in: identical forward, dX emitted in the
+        # forward conv form (ops/conv_vjp.py; chip A/B in BASELINE.md)
+        return FwdDxConv(features, kernel, in_features, use_bias=bias,
+                         kernel_init=kernel_init, bias_init=bias_init,
+                         name=name)
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -148,6 +155,56 @@ def train_remat(default: bool = False) -> bool:
     if v is None:
         return default
     return v not in ("0", "false", "False")
+
+
+def resolve_dx_impl() -> str:
+    """'fwdstyle' routes every stride-1 SAME 3x3 conv through
+    ops/conv_vjp.conv3x3_same_fwddx, whose dX is emitted as a plain
+    forward-form conv (materialized flipped/transposed kernel) instead
+    of XLA's `01oi`+rhs_reversal form.  Motivation: the round-5 chip
+    profile measured dX fusions 10-13 points of MXU peak below their
+    same-shape forward convs (tools/profile_backward.py).  Opt-in:
+    VIRNET_TPU_DX_IMPL=fwdstyle."""
+    import os
+
+    v = os.environ.get("VIRNET_TPU_DX_IMPL", "").strip().lower()
+    return "fwdstyle" if v == "fwdstyle" else "default"
+
+
+class FwdDxConv(nn.Module):
+    """Drop-in for ``conv(features, 3, in_features)`` (stride 1, SAME)
+    whose backward dX uses the forward-style emitter (ops/conv_vjp.py).
+    Parameter tree is identical to nn.Conv — names 'kernel' (HWIO) and
+    'bias' — so checkpoints interchange with the default path."""
+    features: int
+    kernel: int
+    in_features: int
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.conv_vjp import conv3x3_same_fwddx
+
+        kshape = (self.kernel, self.kernel, self.in_features, self.features)
+        k = self.param("kernel", self.kernel_init or torch_kernel_init,
+                       kshape)
+        cdt = get_compute_dtype()
+        if cdt is None:
+            cdt = jnp.promote_types(x.dtype, k.dtype)
+        k = k.astype(cdt)
+        x = x.astype(cdt)
+        y = conv3x3_same_fwddx(x, k, get_precision())
+        if self.use_bias:
+            fan_in = self.kernel * self.kernel * self.in_features
+            b = self.param("bias",
+                           self.bias_init or make_torch_bias_init(fan_in),
+                           (self.features,))
+            if cdt is not None:
+                b = b.astype(cdt)
+            y = y + b
+        return y
 
 
 class PadOutConv(nn.Module):
