@@ -28,7 +28,29 @@ def trainer_argparser(default_config: str) -> argparse.ArgumentParser:
     p.add_argument("--auto_resume", action="store_true", default=None,
                    help="restart from the latest checkpoint on crash "
                         "(train/resilience.py)")
+    p.add_argument("--rss_limit_mb", default=None, type=float,
+                   help="re-exec with --resume latest when host RSS crosses "
+                        "this bound (0/absent disables); bounds the relay-"
+                        "client leak for multi-day runs — see BASELINE.md "
+                        "round-5 bounded-memory audit")
     return p
+
+
+def epoch_rss_watchdog(cfg: Dict, module: str, argv, logger, writer):
+    """Per-epoch RSS watchdog closure for the trainer CLIs.
+
+    Call the returned closure right after the epoch checkpoint is saved;
+    it re-execs the process (resume is bitwise) once RSS crosses
+    ``rss_limit_mb``.  Returns a no-op when the limit is unset.
+    """
+    from ..train.resilience import maybe_reexec_on_rss, reexec_argv
+
+    limit = float(cfg.get("rss_limit_mb") or 0)
+    if limit <= 0:
+        return lambda: None
+    cmd = reexec_argv(module, argv)
+    return lambda: maybe_reexec_on_rss(limit, cmd, log_fn=logger.info,
+                                       cleanup=writer.close)
 
 
 def load_trainer_config(args) -> Dict:

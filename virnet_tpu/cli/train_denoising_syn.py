@@ -20,9 +20,9 @@ from ..data.eval_sets import DenoiseValSet
 from ..data.sources import ImageCache, PatchSampler, glob_images
 from ..train.logging import TrainWriter, make_log
 from ..train.loop_denoise import DenoiseTrainConfig, DenoiseTrainer
-from .common import (eval_on_pairs, eval_restore_fn, load_trainer_config,
-                     log_val_image_grids, maybe_init_multihost,
-                     trainer_argparser)
+from .common import (epoch_rss_watchdog, eval_on_pairs, eval_restore_fn,
+                     load_trainer_config, log_val_image_grids,
+                     maybe_init_multihost, trainer_argparser)
 
 
 def build_trainer(cfg: dict) -> DenoiseTrainer:
@@ -58,6 +58,8 @@ def main(argv=None):
     maybe_init_multihost(cfg, logger.info)
     trainer = build_trainer(cfg)
     writer = TrainWriter(save_dir / "logs")
+    rss_check = epoch_rss_watchdog(
+        cfg, "virnet_tpu.cli.train_denoising_syn", argv, logger, writer)
 
     # training data: union of configured (dir, glob) sources
     train_paths = glob_images(*[tuple(x) for x in cfg["train_data"]])
@@ -117,6 +119,7 @@ def main(argv=None):
 
           trainer.save(epoch)
           logger.info(f"epoch {epoch + 1} took {stats['epoch_time']:.2f}s")
+          rss_check()
 
     if cfg.get("auto_resume"):
         from ..train.resilience import run_with_auto_resume
