@@ -40,9 +40,10 @@ def main(argv=None):
                              "device mesh (huge images; matches the "
                              "plain forward)")
     parser.add_argument("--compute", type=str, default="fp32",
-                        choices=["fp32", "bf16"],
+                        choices=["fp32", "bf16", "int8"],
                         help="fp32 (default) = checkpoint-faithful; "
-                             "bf16 = deployment fast path")
+                             "bf16 = deployment fast path; int8 = "
+                             "quantized W8A8 serving (ops/qconv.py)")
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel inference over all devices: "
                              "folder batches and the x8 --flip ensemble "

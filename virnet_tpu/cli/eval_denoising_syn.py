@@ -33,9 +33,10 @@ def main(argv=None):
                         "on mixed-size sets, small edge drift — see "
                         "eval/engine.py)")
     p.add_argument("--compute", type=str, default="fp32",
-                   choices=["fp32", "bf16"],
+                   choices=["fp32", "bf16", "int8"],
                    help="fp32 (default) = checkpoint-faithful parity "
-                        "eval; bf16 = deployment fast path")
+                        "eval; bf16 = deployment fast path; "
+                        "int8 = quantized W8A8 serving")
     p.add_argument("--mesh", action="store_true",
                    help="shard eval batches across the device mesh "
                         "(data-parallel; per-image outputs identical)")

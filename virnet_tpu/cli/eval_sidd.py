@@ -39,7 +39,7 @@ def main(argv=None):
                    help="score PSNR/SSIM on device (matches the host "
                         "protocol scorer within ~1e-3 dB; much faster)")
     p.add_argument("--compute", type=str, default="fp32",
-                   choices=["fp32", "bf16"],
+                   choices=["fp32", "bf16", "int8"],
                    help="fp32 (default) = checkpoint-faithful parity "
                         "eval; bf16 = deployment fast path (MXU-"
                         "native passes, small dB drift)")

@@ -43,9 +43,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8,
                    help="images per forward within an LR-shape group")
     p.add_argument("--compute", type=str, default="fp32",
-                   choices=["fp32", "bf16"],
+                   choices=["fp32", "bf16", "int8"],
                    help="fp32 (default) = checkpoint-faithful parity "
-                        "eval; bf16 = deployment fast path")
+                        "eval; bf16 = deployment fast path; "
+                        "int8 = quantized W8A8 serving")
     p.add_argument("--mesh", action="store_true",
                    help="shard eval batches across the device mesh "
                         "(data-parallel; per-image outputs identical)")

@@ -76,8 +76,14 @@ class Restorer:
         # tolerance (<=2e-7 measured) and the uint8 protocol scores are
         # identical — pinned by tests/test_mesh_eval.py.  Batches not
         # divisible by the mesh size are repeat-padded and cropped.
-        if compute not in ("fp32", "bf16"):
-            raise ValueError(f"compute must be fp32|bf16, got {compute!r}")
+        # compute='int8' is the quantized serving mode: qualifying 3x3
+        # convs run W8A8 on the MXU integer pipeline (2x bf16 peak,
+        # ops/qconv.py), everything else as in bf16 mode.  NOT
+        # checkpoint-faithful — the quantization error is measured and
+        # recorded (BASELINE.md), never assumed.
+        if compute not in ("fp32", "bf16", "int8"):
+            raise ValueError(
+                f"compute must be fp32|bf16|int8, got {compute!r}")
         self.compute = compute
         self.gray_mean = gray_mean
         self.task = task
@@ -157,14 +163,19 @@ class Restorer:
         from ..precision import precision as precision_ctx
 
         model = self.model
-        bf16 = self.compute == "bf16"
+        fast = self.compute in ("bf16", "int8")
+        quant = self.compute == "int8"
 
         def ctx(stack: ExitStack):
-            if bf16:
+            if fast:
                 stack.enter_context(precision_ctx("default"))
                 stack.enter_context(compute_dtype(jnp.bfloat16))
             else:
                 stack.enter_context(compute_dtype(None))  # fp32-exact
+            if quant:
+                from ..precision import quant_mode
+
+                stack.enter_context(quant_mode("int8"))
 
         if self.task == "sisr":
             sf = self.sf

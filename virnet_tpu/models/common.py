@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..precision import get_compute_dtype, get_precision
+from ..precision import get_compute_dtype, get_precision, get_quant_mode
 
 
 def torch_kernel_init(key, shape, dtype=jnp.float32):
@@ -57,6 +57,16 @@ def conv(features: int, kernel: int, in_features: int, *, stride: int = 1,
         kernel_init = torch_kernel_init
     if bias_init is None:
         bias_init = make_torch_bias_init(fan_in)
+    if (get_quant_mode() == "int8" and stride == 1
+            and padding == kernel // 2
+            and min(features, in_features) >= 16):
+        # int8 serving path (ops/qconv.py): W8A8 on the MXU's 2x-peak
+        # integer pipeline.  Narrow convs (sigma-map heads, 3-channel
+        # tails, CA squeeze) stay float — their emitters are not
+        # MXU-bound and their dynamic range matters most.
+        return QuantConv(features, kernel, in_features, stride=stride,
+                         use_bias=bias, kernel_init=kernel_init,
+                         bias_init=bias_init, name=name)
     if (kernel == 3 and stride == 1 and padding == 1
             and resolve_dx_impl() == "fwdstyle"):
         # training-graph opt-in: identical forward, dX emitted in the
@@ -205,6 +215,37 @@ class FwdDxConv(nn.Module):
                 b = b.astype(cdt)
             y = y + b
         return y
+
+
+class QuantConv(nn.Module):
+    """Drop-in for ``conv(features, ...)`` running the W8A8 int8 path
+    (ops/qconv.py).  Parameter tree is identical to nn.Conv — names
+    'kernel' (HWIO) and 'bias' — so any checkpoint loads unchanged; the
+    quantization is purely an apply-time transform.  Output is cast to
+    the compute dtype (or the input dtype) like the float path."""
+    features: int
+    kernel: int
+    in_features: int
+    stride: int = 1
+    use_bias: bool = True
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.qconv import conv_w8a8
+
+        kshape = (self.kernel, self.kernel, self.in_features, self.features)
+        fan_in = self.kernel * self.kernel * self.in_features
+        k = self.param("kernel", self.kernel_init or torch_kernel_init,
+                       kshape)
+        b = (self.param("bias",
+                        self.bias_init or make_torch_bias_init(fan_in),
+                        (self.features,))
+             if self.use_bias else None)
+        y = conv_w8a8(x, k, b, stride=self.stride)
+        out_dtype = get_compute_dtype() or x.dtype
+        return y.astype(out_dtype)
 
 
 class PadOutConv(nn.Module):

@@ -60,6 +60,41 @@ def get_compute_dtype():
     return _COMPUTE_DTYPE
 
 
+# ---------------------------------------------------------------------------
+# Quantized-serving policy
+#
+# 'int8' routes qualifying 3x3 convs (models/common.py:conv gate) through
+# the W8A8 MXU path (ops/qconv.py): 2x the bf16 MXU peak, at a measured
+# quantization cost to the restored image.  Opt-in only (--compute int8);
+# never a parity path.
+# ---------------------------------------------------------------------------
+
+_QUANT_MODE = None
+
+
+def get_quant_mode():
+    return _QUANT_MODE
+
+
+def set_quant_mode(mode):
+    """mode: None | 'int8'."""
+    global _QUANT_MODE
+    if mode not in (None, "none", "int8"):
+        raise ValueError(f"quant mode must be None|'int8', got {mode!r}")
+    _QUANT_MODE = None if mode in (None, "none") else mode
+
+
+@contextmanager
+def quant_mode(mode):
+    global _QUANT_MODE
+    old = _QUANT_MODE
+    set_quant_mode(mode)
+    try:
+        yield
+    finally:
+        _QUANT_MODE = old
+
+
 def set_compute_dtype(dtype):
     """dtype: None | 'bfloat16' | 'float32' | a jnp dtype."""
     global _COMPUTE_DTYPE
